@@ -1,0 +1,98 @@
+"""Hot-path graph aggregation ops (XLA path).
+
+These are the TPU-native re-designs of the two einsums that dominate the
+reference compute:
+
+  * CTR-GC per-channel aggregation `'ncuv,nctv->nctu'`
+    (reference models/ctrgcn.py:176) plus its SDDMM-shaped dynamic-topology
+    producer `tanh(x1_u - x2_v)` (reference models/ctrgcn.py:174);
+  * ST-GCN 3-partition aggregation `'nkctv,kvw->nctw'`
+    (reference models/stgcn.py:62).
+
+All activations here are NTVC (batch, time, vertex, channel): channels ride
+the 128-wide lane dimension and T rides sublanes, so XLA tiles these as
+(8,128) VPU ops / MXU matmuls without transposes. A fused Pallas kernel for
+the full CTR-GC block lives in tamgcn_tpu.ops.pallas and is dispatched via
+`ctr_gc_fused`; this module is the always-available XLA reference/fallback.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ctr_gc_dynamic_adjacency(
+    x1: jax.Array,  # (N, U, R)   per-joint "source" embedding, T-pooled
+    x2: jax.Array,  # (N, V, R)   per-joint "target" embedding, T-pooled
+    w4: jax.Array,  # (R, C)      1x1 conv lifting rel-channels to out-channels
+    b4: jax.Array | None,  # (C,)
+    alpha: jax.Array,  # scalar mixing coefficient
+    A: jax.Array,  # (U, V) static partition adjacency
+) -> jax.Array:
+    """Channel-wise refined adjacency M[n,u,v,c] = (tanh(x1-x2)@w4 + b4)*alpha + A.
+
+    Semantics of reference models/ctrgcn.py:174-175. The pairwise difference is
+    the SDDMM-shaped op; the w4 contraction is an MXU matmul over R.
+    """
+    d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (N, U, V, R)
+    m = jnp.einsum("nuvr,rc->nuvc", d, w4, preferred_element_type=jnp.float32)
+    if b4 is not None:
+        m = m + b4
+    return m * alpha + A[None, :, :, None]
+
+
+def ctr_gc_aggregate(m: jax.Array, x3: jax.Array) -> jax.Array:
+    """out[n,t,u,c] = sum_v m[n,u,v,c] * x3[n,t,v,c].
+
+    The per-channel V x V batched "SpMM" of reference models/ctrgcn.py:176
+    ('ncuv,nctv->nctu'), in NTVC layout.
+    """
+    return jnp.einsum("nuvc,ntvc->ntuc", m, x3, preferred_element_type=jnp.float32)
+
+
+def ctr_gc_fused_xla(
+    x1: jax.Array,
+    x2: jax.Array,
+    x3: jax.Array,  # (N, T, V, C)
+    w4: jax.Array,
+    b4: jax.Array | None,
+    alpha: jax.Array,
+    A: jax.Array,
+) -> jax.Array:
+    """Full CTR-GC refine+aggregate, XLA path (oracle for the Pallas kernel)."""
+    m = ctr_gc_dynamic_adjacency(x1, x2, w4, b4, alpha, A)
+    return ctr_gc_aggregate(m, x3)
+
+
+def stgcn_aggregate(x: jax.Array, A: jax.Array) -> jax.Array:
+    """out[n,t,w,c] = sum_{k,v} x[n,t,v,k,c] * A[k,v,w].
+
+    The 3-partition spatial aggregation of reference models/stgcn.py:62
+    ('nkctv,kvw->nctw'), in NTVC layout with the partition axis k packed
+    next to channels.
+    """
+    return jnp.einsum("ntvkc,kvw->ntwc", x, A, preferred_element_type=jnp.float32)
+
+
+def ctr_gc_fused(
+    x1: jax.Array,
+    x2: jax.Array,
+    x3: jax.Array,
+    w4: jax.Array,
+    b4: jax.Array | None,
+    alpha: jax.Array,
+    A: jax.Array,
+    *,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Dispatch the fused CTR-GC op: Pallas on TPU, XLA elsewhere.
+
+    use_pallas=None auto-selects by backend platform.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas.ctr_gc import ctr_gc_fused_pallas
+
+        return ctr_gc_fused_pallas(x1, x2, x3, w4, b4, alpha, A)
+    return ctr_gc_fused_xla(x1, x2, x3, w4, b4, alpha, A)

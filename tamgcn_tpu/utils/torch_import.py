@@ -1,0 +1,184 @@
+"""PyTorch state-dict -> flax pytree import shims.
+
+Maps the reference checkpoints' parameter names (models/ctrgcn.py,
+models/stgcn.py) onto this framework's flax variable trees, so that
+
+  * per-layer parity tests can run the two frameworks on identical weights;
+  * users can load reference-trained `.pt` checkpoints (after
+    `torch.save(model.state_dict())`-style export) directly, covering the
+    reference's load_weights capability (torchlight/torchlight/io.py:57-90)
+    including the `module.` prefix strip.
+
+Tensors arrive as numpy arrays (call `.detach().cpu().numpy()` on torch
+tensors first, or pass a dict of numpy arrays); no torch import happens here.
+
+Layout conversions:
+  torch Conv2d weight (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O)
+  torch Linear weight (O, I)         -> flax Dense kernel (I, O)
+  torch BatchNorm weight/bias/running_mean/running_var
+      -> flax BatchNorm scale/bias + batch_stats mean/var
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+Tree = dict[str, Any]
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def strip_module_prefix(state: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Drop DataParallel 'module.' prefixes (torchlight io.py:65-66)."""
+    return {k.removeprefix("module."): np.asarray(v) for k, v in state.items()}
+
+
+class _TreeBuilder:
+    """Accumulates params/batch_stats trees keyed by '/'-joined flax paths."""
+
+    def __init__(self):
+        self.params: Tree = {}
+        self.batch_stats: Tree = {}
+
+    def _set(self, tree: Tree, path: str, value: np.ndarray):
+        keys = path.split("/")
+        node = tree
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value, np.float32)
+
+    def conv(self, sd: Mapping, tname: str, fpath: str, bias: bool = True):
+        self._set(self.params, f"{fpath}/kernel", _conv_w(sd[f"{tname}.weight"]))
+        if bias and f"{tname}.bias" in sd:
+            self._set(self.params, f"{fpath}/bias", sd[f"{tname}.bias"])
+
+    def dense(self, sd: Mapping, tname: str, fpath: str):
+        self._set(self.params, f"{fpath}/kernel", sd[f"{tname}.weight"].T)
+        if f"{tname}.bias" in sd:
+            self._set(self.params, f"{fpath}/bias", sd[f"{tname}.bias"])
+
+    def bn(self, sd: Mapping, tname: str, fpath: str):
+        self._set(self.params, f"{fpath}/scale", sd[f"{tname}.weight"])
+        self._set(self.params, f"{fpath}/bias", sd[f"{tname}.bias"])
+        self._set(self.batch_stats, f"{fpath}/mean", sd[f"{tname}.running_mean"])
+        self._set(self.batch_stats, f"{fpath}/var", sd[f"{tname}.running_var"])
+
+    def raw(self, sd: Mapping, tname: str, fpath: str, transform=None):
+        v = np.asarray(sd[tname])
+        if transform is not None:
+            v = transform(v)
+        self._set(self.params, fpath, v)
+
+    def variables(self) -> dict[str, Tree]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def _import_ctrgc(b: _TreeBuilder, sd: Mapping, t: str, f: str):
+    """CTRGC unit: conv1..conv4 (reference models/ctrgcn.py:161-164)."""
+    b.conv(sd, f"{t}.conv1", f"{f}/conv1")
+    b.conv(sd, f"{t}.conv2", f"{f}/conv2")
+    b.conv(sd, f"{t}.conv3", f"{f}/conv3")
+    # conv4 is stored as raw (1,1,R,C) kernel + bias for the fused op
+    b.raw(sd, f"{t}.conv4.weight", f"{f}/conv4_kernel", _conv_w)
+    b.raw(sd, f"{t}.conv4.bias", f"{f}/conv4_bias")
+
+
+def _import_unit_gcn(b: _TreeBuilder, sd: Mapping, t: str, f: str, in_ch, out_ch):
+    for i in range(3):
+        _import_ctrgc(b, sd, f"{t}.convs.{i}", f"{f}/convs_{i}")
+    b.raw(sd, f"{t}.PA", f"{f}/PA")
+    b.raw(sd, f"{t}.alpha", f"{f}/alpha")
+    b.bn(sd, f"{t}.bn", f"{f}/bn")
+    if in_ch != out_ch:
+        b.conv(sd, f"{t}.down.0", f"{f}/down_conv")
+        b.bn(sd, f"{t}.down.1", f"{f}/down_bn")
+    b.conv(sd, f"{t}.offset_conv.0", f"{f}/offset_conv")
+    b.bn(sd, f"{t}.offset_conv.1", f"{f}/offset_bn")
+
+
+def _import_mstcn(b: _TreeBuilder, sd: Mapping, t: str, f: str, n_dil=2,
+                  residual_conv=False):
+    """MultiScale_TemporalConv branches (reference models/ctrgcn.py:93-124)."""
+    for i in range(n_dil):
+        b.conv(sd, f"{t}.branches.{i}.0", f"{f}/branch{i}_conv")
+        b.bn(sd, f"{t}.branches.{i}.1", f"{f}/branch{i}_bn")
+        b.conv(sd, f"{t}.branches.{i}.3.conv", f"{f}/branch{i}_tconv/conv")
+        b.bn(sd, f"{t}.branches.{i}.3.bn", f"{f}/branch{i}_tconv/bn")
+    i_mp, i_pw = n_dil, n_dil + 1
+    b.conv(sd, f"{t}.branches.{i_mp}.0", f"{f}/branch{i_mp}_conv")
+    b.bn(sd, f"{t}.branches.{i_mp}.1", f"{f}/branch{i_mp}_bn")
+    b.bn(sd, f"{t}.branches.{i_mp}.4", f"{f}/branch{i_mp}_bn2")
+    b.conv(sd, f"{t}.branches.{i_pw}.0", f"{f}/branch{i_pw}_conv")
+    b.bn(sd, f"{t}.branches.{i_pw}.1", f"{f}/branch{i_pw}_bn")
+    if residual_conv:
+        b.conv(sd, f"{t}.residual.conv", f"{f}/residual/conv")
+        b.bn(sd, f"{t}.residual.bn", f"{f}/residual/bn")
+
+
+# (in_ch_factor, out_ch_factor, stride) per block, base_channel units; factor 0
+# encodes the raw input channel count.
+_CTRGCN_BLOCKS = [
+    (0, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 2, 2),
+    (2, 2, 1), (2, 2, 1), (2, 4, 2), (4, 4, 1), (4, 4, 1),
+]
+
+
+def import_ctrgcn_state_dict(
+    state: Mapping[str, np.ndarray], in_channels: int = 3, base_channel: int = 64
+) -> dict[str, Tree]:
+    """Map a reference models/ctrgcn.py state_dict onto CTRGCN flax variables."""
+    sd = strip_module_prefix(state)
+    b = _TreeBuilder()
+    b.raw(sd, "data_bn.weight", "data_bn/scale")
+    b.raw(sd, "data_bn.bias", "data_bn/bias")
+    b._set(b.batch_stats, "data_bn/mean", sd["data_bn.running_mean"])
+    b._set(b.batch_stats, "data_bn/var", sd["data_bn.running_var"])
+    for i, (fi, fo, stride) in enumerate(_CTRGCN_BLOCKS, start=1):
+        t, f = f"l{i}", f"l{i}"
+        in_ch = in_channels if fi == 0 else fi * base_channel
+        out_ch = fo * base_channel
+        _import_unit_gcn(b, sd, f"{t}.gcn1", f"{f}/gcn1", in_ch, out_ch)
+        _import_mstcn(b, sd, f"{t}.tcn1", f"{f}/tcn1")
+        if i > 1 and (in_ch != out_ch or stride != 1):
+            b.conv(sd, f"{t}.residual.conv", f"{f}/residual/conv")
+            b.bn(sd, f"{t}.residual.bn", f"{f}/residual/bn")
+    b.dense(sd, "fc", "fc")
+    return b.variables()
+
+
+_STGCN_BLOCKS = [
+    (3, 64, 1, False), (64, 64, 1, True), (64, 64, 1, True), (64, 64, 1, True),
+    (64, 128, 2, True), (128, 128, 1, True), (128, 128, 1, True),
+    (128, 256, 2, True), (256, 256, 1, True), (256, 256, 1, True),
+]
+
+
+def import_stgcn_state_dict(
+    state: Mapping[str, np.ndarray],
+) -> dict[str, Tree]:
+    """Map a reference models/stgcn.py state_dict onto STGCN flax variables."""
+    sd = strip_module_prefix(state)
+    b = _TreeBuilder()
+    b.raw(sd, "data_bn.weight", "data_bn/scale")
+    b.raw(sd, "data_bn.bias", "data_bn/bias")
+    b._set(b.batch_stats, "data_bn/mean", sd["data_bn.running_mean"])
+    b._set(b.batch_stats, "data_bn/var", sd["data_bn.running_var"])
+    for i, (in_ch, out_ch, stride, residual) in enumerate(_STGCN_BLOCKS):
+        t, f = f"st_gcn_networks.{i}", f"blocks_{i}"
+        b.conv(sd, f"{t}.gcn.conv", f"{f}/gcn/conv")
+        b.bn(sd, f"{t}.tcn.0", f"{f}/tcn_bn1")
+        b.conv(sd, f"{t}.tcn.2", f"{f}/tcn_conv")
+        b.bn(sd, f"{t}.tcn.3", f"{f}/tcn_bn2")
+        if residual and (in_ch != out_ch or stride != 1):
+            b.conv(sd, f"{t}.residual.0", f"{f}/res_conv")
+            b.bn(sd, f"{t}.residual.1", f"{f}/res_bn")
+        if f"edge_importance.{i}" in sd:
+            b.raw(sd, f"edge_importance.{i}", f"edge_importance_{i}")
+    # fcn is a 1x1 Conv2d in the reference (models/stgcn.py:163); our head is
+    # Dense on pooled features — weights (O, I, 1, 1) -> (I, O)
+    b._set(b.params, "fcn/kernel", np.asarray(sd["fcn.weight"])[:, :, 0, 0].T)
+    b._set(b.params, "fcn/bias", sd["fcn.bias"])
+    return b.variables()
