@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark: fused CTR-GC kernel + end-to-end CTR-GCN training throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The primary metric is CTR-GC aggregation throughput in edges/s/chip (an
+"edge" = one joint->joint contribution aggregated per (sample, frame), i.e.
+N*T*V*V per call per subset, the quantity BASELINE.json names). vs_baseline
+is the speedup of the fused Pallas kernel over the XLA-einsum implementation
+of the identical op on the same chip — the reference publishes no TPU (or
+any) kernel numbers (BASELINE.md), so the XLA lowering of the reference's
+own einsum formulation is the baseline.
+
+Secondary lines (stderr): train-step samples/s for the full model, both
+kernel paths, and speed-of-light context.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters=50, warmup=5):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_kernel(n=64, t=52, v=20, c=64, r=8):
+    import jax
+    import jax.numpy as jnp
+
+    from tamgcn_tpu.ops.aggregation import ctr_gc_fused_xla
+    from tamgcn_tpu.ops.pallas.ctr_gc import ctr_gc_fused_pallas
+
+    rs = np.random.RandomState(0)
+    args = (
+        jnp.asarray(rs.randn(n, v, r), jnp.float32),
+        jnp.asarray(rs.randn(n, v, r), jnp.float32),
+        jnp.asarray(rs.randn(n, t, v, c), jnp.float32),
+        jnp.asarray(rs.randn(r, c) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(c) * 0.1, jnp.float32),
+        jnp.asarray([0.7], jnp.float32),
+        jnp.asarray(rs.rand(v, v), jnp.float32),
+    )
+    f_pallas = jax.jit(ctr_gc_fused_pallas)
+    f_xla = jax.jit(ctr_gc_fused_xla)
+    # numerics guard on-chip: XLA's einsum path uses default (bf16-input)
+    # matmul precision on TPU, so allow bf16-level deviation here — exact
+    # fp32 parity is gated in tests/test_pallas.py
+    np.testing.assert_allclose(
+        np.asarray(f_pallas(*args)), np.asarray(f_xla(*args)), rtol=5e-2, atol=1e-1
+    )
+    dt_pallas = time_fn(f_pallas, *args)
+    dt_xla = time_fn(f_xla, *args)
+    edges = n * t * v * v
+    log(f"kernel shapes N={n} T={t} V={v} C={c} R={r}")
+    log(f"  pallas: {dt_pallas*1e6:9.1f} us  {edges/dt_pallas/1e9:8.2f} Gedges/s")
+    log(f"  xla:    {dt_xla*1e6:9.1f} us  {edges/dt_xla/1e9:8.2f} Gedges/s")
+    return edges / dt_pallas, dt_xla / dt_pallas
+
+
+def bench_train_step(batch=64):
+    import jax
+    import jax.numpy as jnp
+
+    from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.parallel.mesh import make_mesh
+    from tamgcn_tpu.parallel.sharded import init_sharded_state, make_train_step
+    from tamgcn_tpu.train.optim import make_optimizer
+
+    model = create_ctrgcn_nucla(use_pallas=True)
+    mesh = make_mesh()
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
+    )
+    labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
+    tx = make_optimizer("SGD", 0.1, steps_per_epoch=50, step=[50])
+    state = init_sharded_state(model, tx, mesh, x, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, tx))
+    rng = jax.random.PRNGKey(1)
+
+    def run(state):
+        new_state, loss, acc = step(state, x, labels, rng)
+        return new_state, loss
+
+    with mesh:
+        # warmup/compile
+        s, loss = run(state)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        iters = 20
+        for _ in range(iters):
+            s, loss = run(s)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / iters
+    log(f"train step: {dt*1e3:.2f} ms/step, {batch/dt:.1f} samples/s (batch {batch})")
+    return batch / dt
+
+
+def main():
+    import jax
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    edges_per_s, speedup = bench_kernel()
+    try:
+        samples_per_s = bench_train_step()
+        log(f"train throughput: {samples_per_s:.1f} samples/s")
+    except Exception as e:  # keep the primary metric even if train bench dies
+        log(f"train bench failed: {e}")
+    print(
+        json.dumps(
+            {
+                "metric": "ctr_gc_fused_edges_per_s_per_chip",
+                "value": round(edges_per_s / 1e9, 4),
+                "unit": "Gedges/s",
+                "vs_baseline": round(speedup, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

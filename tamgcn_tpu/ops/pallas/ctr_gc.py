@@ -1,12 +1,135 @@
-"""Fused CTR-GC Pallas TPU kernel (placeholder dispatch — kernel lands next).
+"""Fused CTR-GC Pallas TPU kernel: dynamic-topology refine + aggregate.
 
-Until the Mosaic kernel is wired in, this forwards to the XLA fused path so
-the dispatch point in tamgcn_tpu.ops.aggregation stays stable.
+Computes, per sample n (reference models/ctrgcn.py:172-177 semantics):
+
+    D[u,v,r] = tanh(x1[u,r] - x2[v,r])              # SDDMM-shaped pairwise op
+    M[u,v,c] = (D[u,v,:] @ w4[:,c] + b4[c]) * alpha + A[u,v]
+    out[t,u,c] = sum_v M[u,v,c] * x3[t,v,c]          # per-channel aggregation
+
+entirely in VMEM. The XLA path materialises M — an (N, V, V, C) tensor that
+is 4x larger than the activations themselves (26 MB at N=64, C=256, V=20) —
+to HBM and reads it back; this kernel keeps the whole refine+aggregate chain
+on-chip, which matters because the op is bandwidth-bound (arithmetic
+intensity ~V/2 FLOPs/byte on x3 traffic).
+
+Layout: channels ride the 128-lane axis; the joint axis V (20/25) is unrolled
+— each of the V output joints is one (V, C) matmul on the MXU plus one
+(T, V, C) multiply-reduce on the VPU.
+
+Backward is a custom VJP: x3's gradient reuses the same fused kernel with M
+transposed in (u, v) (aggregation is linear in x3), and the small parameter
+gradients (w4, b4, alpha, A, x1, x2) are XLA einsums over the recomputed D —
+they touch V²-sized tensors only.
 """
 from __future__ import annotations
 
+import functools
 
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
+                  out_ref, *, transpose_m: bool):
+    """One grid step = one sample. Refs:
+    x1 (1,V,R)  x2 (1,V,R)  x3 (1,T,V,C)  w4 (R,C)  b4 (1,C)
+    alpha (1,1) SMEM        A (V,V)       out (1,T,V,C)
+    """
+    alpha = alpha_ref[0, 0]
+    x1 = x1_ref[0]  # (V, R)
+    x2 = x2_ref[0]  # (V, R)
+    x3 = x3_ref[0]  # (T, V, C)
+    b4 = b4_ref[0]  # (C,)
+    V = x1.shape[0]
+
+    for u in range(V):
+        # row u of the dynamic adjacency, all v at once: (V, R)
+        if transpose_m:
+            # M^T aggregation (for dL/dx3): rows indexed by v, i.e. use
+            # D[:, u, :] = tanh(x1[:, r] - x2[u, r]) and A[:, u]
+            du = jnp.tanh(x1 - x2[u][None, :])
+            a_row = A_ref[:, u]
+        else:
+            du = jnp.tanh(x1[u][None, :] - x2)
+            a_row = A_ref[u, :]
+        mu = jnp.dot(du, w4_ref[:], preferred_element_type=jnp.float32)  # (V, C)
+        mu = (mu + b4[None, :]) * alpha + a_row[:, None]
+        # out[:, u, :] = sum_v mu[v] * x3[:, v, :]
+        out_ref[0, :, u, :] = jnp.sum(x3 * mu[None, :, :], axis=1)
+
+
+def _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A, *, transpose_m=False):
+    N, T, V, C = x3.shape
+    R = x1.shape[-1]
+    alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    b4 = jnp.zeros((C,), x3.dtype) if b4 is None else b4
+    kernel = functools.partial(_fused_kernel, transpose_m=transpose_m)
+    flops = 2 * N * (V * V * R * C + T * V * V * C)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, V, R), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, R), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, V, C), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((V, V), lambda n: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, V, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, T, V, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * N * T * V * C + 2 * N * V * R + R * C),
+            transcendentals=N * V * V * R,
+        ),
+        # off-TPU (tests, CPU dry runs) the kernel runs in interpreter mode
+        interpret=jax.default_backend() != "tpu",
+    )(x1, x2, x3, w4, b4.reshape(1, C), alpha2d, A)
+
+
+@jax.custom_vjp
 def ctr_gc_fused_pallas(x1, x2, x3, w4, b4, alpha, A):
-    from ..aggregation import ctr_gc_fused_xla
+    """Fused refine+aggregate; signature matches ops.aggregation.ctr_gc_fused_xla."""
+    return _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A)
 
-    return ctr_gc_fused_xla(x1, x2, x3, w4, b4, alpha, A)
+
+def _fwd(x1, x2, x3, w4, b4, alpha, A):
+    out = _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A)
+    return out, (x1, x2, x3, w4, b4, alpha, A)
+
+
+def _bwd(res, g):
+    x1, x2, x3, w4, b4, alpha, A = res
+    has_b4 = b4 is not None
+    b4v = jnp.zeros((x3.shape[-1],), x3.dtype) if b4 is None else b4
+
+    # dx3 via the same fused kernel with M transposed in (u, v):
+    # dx3[t,v,c] = sum_u M[u,v,c] g[t,u,c]
+    dx3 = _fused_pallas_call(x1, x2, g, w4, b4v, alpha, A, transpose_m=True)
+
+    # dM[u,v,c] = sum_t g[t,u,c] x3[t,v,c]  (small: N,V,V,C but only in bwd)
+    dm = jnp.einsum("ntuc,ntvc->nuvc", g, x3, preferred_element_type=jnp.float32)
+    d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (N, U, V, R)
+    dA = jnp.sum(dm, axis=(0, 3))
+    dp = dm * alpha  # dL/dP where P = D @ w4 + b4
+    dalpha_full = jnp.sum(
+        dm * (jnp.einsum("nuvr,rc->nuvc", d, w4) + b4v)
+    )
+    dalpha = jnp.reshape(dalpha_full, jnp.shape(alpha))
+    db4 = jnp.sum(dp, axis=(0, 1, 2)) if has_b4 else None
+    dw4 = jnp.einsum("nuvr,nuvc->rc", d, dp, preferred_element_type=jnp.float32)
+    dd = jnp.einsum("nuvc,rc->nuvr", dp, w4, preferred_element_type=jnp.float32)
+    dpre = dd * (1.0 - d * d)
+    dx1 = jnp.sum(dpre, axis=2)
+    dx2 = -jnp.sum(dpre, axis=1)
+    return dx1, dx2, dx3, dw4, db4, dalpha, dA
+
+
+ctr_gc_fused_pallas.defvjp(_fwd, _bwd)

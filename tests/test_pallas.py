@@ -1,0 +1,89 @@
+"""Pallas fused CTR-GC kernel vs the XLA einsum oracle (interpret mode on CPU).
+
+Numerics gate for the kernel: forward allclose and full VJP allclose against
+tamgcn_tpu.ops.ctr_gc_fused_xla for both NW-UCLA (V=20) and NTU (V=25)
+shapes, including non-aligned channel counts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tamgcn_tpu.ops.aggregation import ctr_gc_fused_xla
+from tamgcn_tpu.ops.pallas.ctr_gc import ctr_gc_fused_pallas
+
+
+def _make_inputs(n=3, t=13, v=20, c=64, r=8, seed=0):
+    rs = np.random.RandomState(seed)
+    x1 = jnp.asarray(rs.randn(n, v, r), jnp.float32)
+    x2 = jnp.asarray(rs.randn(n, v, r), jnp.float32)
+    x3 = jnp.asarray(rs.randn(n, t, v, c), jnp.float32)
+    w4 = jnp.asarray(rs.randn(r, c) * 0.1, jnp.float32)
+    b4 = jnp.asarray(rs.randn(c) * 0.1, jnp.float32)
+    alpha = jnp.asarray([0.7], jnp.float32)
+    A = jnp.asarray(rs.rand(v, v), jnp.float32)
+    return x1, x2, x3, w4, b4, alpha, A
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(n=2, t=52, v=20, c=64, r=8),    # NW-UCLA layer 1
+        dict(n=2, t=13, v=20, c=256, r=32),  # NW-UCLA layer 9-10
+        dict(n=2, t=16, v=25, c=128, r=16),  # NTU mid layers
+        dict(n=1, t=7, v=20, c=96, r=12),    # non-aligned channels
+    ],
+)
+def test_forward_matches_xla(shape):
+    args = _make_inputs(**shape)
+    got = np.asarray(ctr_gc_fused_pallas(*args))
+    want = np.asarray(ctr_gc_fused_xla(*args))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_none_bias():
+    x1, x2, x3, w4, _, alpha, A = _make_inputs()
+    got = np.asarray(ctr_gc_fused_pallas(x1, x2, x3, w4, None, alpha, A))
+    want = np.asarray(ctr_gc_fused_xla(x1, x2, x3, w4, None, alpha, A))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vjp_matches_xla():
+    args = _make_inputs(n=2, t=8, v=20, c=64, r=8)
+
+    def loss_pallas(*a):
+        return jnp.sum(jnp.sin(ctr_gc_fused_pallas(*a)))
+
+    def loss_xla(*a):
+        return jnp.sum(jnp.sin(ctr_gc_fused_xla(*a)))
+
+    g_pallas = jax.grad(loss_pallas, argnums=tuple(range(7)))(*args)
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
+    names = ["x1", "x2", "x3", "w4", "b4", "alpha", "A"]
+    for name, gp, gx in zip(names, g_pallas, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_alpha_zero_reduces_to_static_adjacency():
+    """With alpha=0 the op must equal plain aggregation with the static A."""
+    x1, x2, x3, w4, b4, _, A = _make_inputs(n=2, t=8, v=20, c=64, r=8)
+    alpha = jnp.zeros((1,), jnp.float32)
+    got = np.asarray(ctr_gc_fused_pallas(x1, x2, x3, w4, b4, alpha, A))
+    want = np.asarray(jnp.einsum("uv,ntvc->ntuc", A, x3))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_model_with_pallas_matches_xla_path():
+    """Full CTRGCN forward: use_pallas=True (interpret) == use_pallas=False."""
+    from tamgcn_tpu.models import create_ctrgcn_nucla
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 20, 20, 1), jnp.float32)
+    m_x = create_ctrgcn_nucla(use_pallas=False)
+    m_p = create_ctrgcn_nucla(use_pallas=True)
+    v = m_x.init(jax.random.PRNGKey(0), x, train=False)
+    out_x = np.asarray(m_x.apply(v, x, train=False))
+    out_p = np.asarray(m_p.apply(v, x, train=False))
+    np.testing.assert_allclose(out_p, out_x, rtol=2e-4, atol=2e-4)

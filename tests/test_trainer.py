@@ -1,0 +1,96 @@
+"""Trainer / config / checkpoint tests: end-to-end smoke on synthetic data.
+
+Runs on the virtual 8-device CPU mesh from conftest, exercising batch
+sharding over the 'data' axis exactly as on a TPU slice.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from tamgcn_tpu.train.config import base_parser, load_config
+
+
+def test_config_precedence(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("base_lr: 0.5\nnum_epoch: 7\nmodel: stgcn\n")
+    # YAML overrides defaults
+    arg = load_config(["-c", str(cfg)])
+    assert arg.base_lr == 0.5 and arg.num_epoch == 7 and arg.model == "stgcn"
+    # CLI overrides YAML
+    arg = load_config(["-c", str(cfg), "--base_lr", "0.9"])
+    assert arg.base_lr == 0.9 and arg.num_epoch == 7
+
+
+def test_config_unknown_key_rejected(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("not_a_real_key: 1\n")
+    with pytest.raises(KeyError):
+        load_config(["-c", str(cfg)])
+
+
+def test_dict_action_safe_parsing():
+    arg = load_config(["--model_args", "{'num_class': 10, 'graph': 'ucla'}"])
+    assert arg.model_args == {"num_class": 10, "graph": "ucla"}
+    arg = load_config(["--train_feeder_args", "split=train", "repeat=5"])
+    assert arg.train_feeder_args == {"split": "train", "repeat": 5}
+
+
+def test_lr_schedule():
+    from tamgcn_tpu.train.optim import make_lr_schedule
+
+    sched = make_lr_schedule(0.1, [50], 0.1, steps_per_epoch=10, warm_up_epoch=5)
+    # warmup: epoch 0 -> 0.1 * 1/5
+    assert float(sched(0)) == pytest.approx(0.02)
+    assert float(sched(49)) == pytest.approx(0.1)  # epoch 4 end of warmup
+    assert float(sched(60)) == pytest.approx(0.1)  # epoch 6 plateau
+    assert float(sched(501)) == pytest.approx(0.01)  # epoch 50+ decayed
+
+
+@pytest.mark.slow
+def test_end_to_end_smoke_training(tmp_path):
+    """Two epochs on synthetic data: loss must drop, accuracy above chance,
+    checkpoints + score pickles + progress CSV written, resume works."""
+    from tamgcn_tpu.train.trainer import RecognitionTrainer
+
+    work = str(tmp_path / "smoke")
+    arg = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", work, "--num_epoch", "3"]
+    )
+    trainer = RecognitionTrainer(arg)
+    trainer.start()
+
+    log = open(os.path.join(work, "log.txt")).read()
+    assert "Training epoch: 1" in log
+    assert os.path.exists(os.path.join(work, "config.yaml"))
+    assert os.path.exists(os.path.join(work, "progress_info.csv"))
+    progress = np.loadtxt(
+        os.path.join(work, "progress_info.csv"), delimiter=","
+    )
+    train_losses = progress[:, 0]
+    assert train_losses[-1] < train_losses[0], "loss did not decrease"
+    top1 = progress[-1, 2]
+    assert top1 > 0.15, f"accuracy {top1} not above 10-class chance"
+    # best checkpoint exists and resume restores it
+    assert trainer.ckpt.exists("best")
+    assert trainer.ckpt.latest_epoch() == 3
+
+    trainer2 = RecognitionTrainer(arg)
+    nxt = trainer2.resume()
+    assert nxt == 3
+    loss2, t1_2, _ = trainer2.test_epoch()
+    loss1, t1_1, _ = trainer.test_epoch()
+    assert t1_2 == pytest.approx(t1_1)
+
+
+@pytest.mark.slow
+def test_test_phase_requires_weights(tmp_path):
+    from tamgcn_tpu.train.trainer import RecognitionTrainer
+
+    arg = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", str(tmp_path / "t"),
+         "--phase", "test"]
+    )
+    trainer = RecognitionTrainer(arg)
+    with pytest.raises(ValueError, match="appoint --weights"):
+        trainer.start()
