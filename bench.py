@@ -116,6 +116,10 @@ def bench_train_step(batch=64):
 def main():
     import jax
 
+    from tamgcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     edges_per_s, speedup = bench_kernel()
     try:

@@ -30,6 +30,9 @@ def _build_registry():
 
 
 def main(argv=None):
+    from tamgcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     registry, base_parser, load_config = _build_registry()
     if not argv or argv[0] not in registry:
