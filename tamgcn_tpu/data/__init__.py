@@ -20,4 +20,8 @@ def get_feeder(name: str, **feeder_args):
         from .synthetic import SyntheticSkeletonFeeder
 
         return SyntheticSkeletonFeeder(**feeder_args)
+    if name in ("synthetic_fusion",):
+        from .synthetic import SyntheticFusionFeeder
+
+        return SyntheticFusionFeeder(**feeder_args)
     raise KeyError(f"unknown feeder {name!r}")

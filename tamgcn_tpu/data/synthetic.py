@@ -62,3 +62,23 @@ class SyntheticSkeletonFeeder:
 
     def top_k(self, score: np.ndarray, k: int) -> float:
         return T.top_k(score, self.label, k)
+
+
+class SyntheticFusionFeeder(SyntheticSkeletonFeeder):
+    """Two-input synthetic dataset: (skeleton, rgb_stack, label, index)."""
+
+    def __init__(self, *args, temporal_rgb_frames: int = 5, image_size: int = 32,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.temporal_rgb_frames = temporal_rgb_frames
+        self.image_size = image_size
+
+    def __getitem__(self, index: int):
+        data, label, _ = super().__getitem__(index)
+        rng = np.random.Generator(
+            np.random.Philox(key=self.seed + 31, counter=[0, 0, self.epoch, index])
+        )
+        rgb = rng.normal(
+            size=(3 * self.temporal_rgb_frames, self.image_size, self.image_size)
+        ).astype(np.float32)
+        return data, rgb, label, index

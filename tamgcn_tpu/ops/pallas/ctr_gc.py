@@ -32,32 +32,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fused_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
-                  out_ref, *, transpose_m: bool):
-    """One grid step = one sample. Refs:
-    x1 (1,V,R)  x2 (1,V,R)  x3 (1,T,V,C)  w4 (R,C)  b4 (1,C)
-    alpha (1,1) SMEM        A (V,V)       out (1,T,V,C)
+                  out_ref, *, transpose_m: bool, block_n: int):
+    """One grid step = `block_n` samples. Refs:
+    x1 (BN,V,R)  x2 (BN,V,R)  x3 (BN,T,V,C)  w4 (R,C)  b4 (1,C)
+    alpha (1,1) SMEM          A (V,V)        out (BN,T,V,C)
+
+    Per sample: V small (V,R)@(R,C) MXU matmuls build the refined-adjacency
+    rows on the fly; the aggregation is V broadcast-multiply-reduce VPU ops
+    over (T, V, C) tiles (C on lanes). Blocking over samples amortises the
+    per-program latency and lets Mosaic pipeline the HBM<->VMEM DMAs.
     """
     alpha = alpha_ref[0, 0]
-    x1 = x1_ref[0]  # (V, R)
-    x2 = x2_ref[0]  # (V, R)
-    x3 = x3_ref[0]  # (T, V, C)
     b4 = b4_ref[0]  # (C,)
-    V = x1.shape[0]
+    V = x1_ref.shape[1]
 
-    for u in range(V):
-        # row u of the dynamic adjacency, all v at once: (V, R)
+    for n in range(block_n):
+        x1 = x1_ref[n]  # (V, R)
+        x2 = x2_ref[n]  # (V, R)
+        x3 = x3_ref[n]  # (T, V, C)
+        # All V*V dynamic-adjacency entries in one MXU matmul, laid out so
+        # that the rows needed per accumulation step are CONTIGUOUS:
+        #   forward:  step v accumulates M[:, v, :]  -> order (v, u)
+        #   transpose: step u accumulates M[u, :, :] -> order (u, v)
         if transpose_m:
-            # M^T aggregation (for dL/dx3): rows indexed by v, i.e. use
-            # D[:, u, :] = tanh(x1[:, r] - x2[u, r]) and A[:, u]
-            du = jnp.tanh(x1 - x2[u][None, :])
-            a_row = A_ref[:, u]
+            d = jnp.tanh(x1[:, None, :] - x2[None, :, :])  # (u, v, R)
         else:
-            du = jnp.tanh(x1[u][None, :] - x2)
-            a_row = A_ref[u, :]
-        mu = jnp.dot(du, w4_ref[:], preferred_element_type=jnp.float32)  # (V, C)
-        mu = (mu + b4[None, :]) * alpha + a_row[:, None]
-        # out[:, u, :] = sum_v mu[v] * x3[:, v, :]
-        out_ref[0, :, u, :] = jnp.sum(x3 * mu[None, :, :], axis=1)
+            d = jnp.tanh(x1[None, :, :] - x2[:, None, :])  # (v, u, R)
+        m = jnp.dot(
+            d.reshape(V * V, -1), w4_ref[:], preferred_element_type=jnp.float32
+        )  # (V*V, C), row j*V+i
+        m = (m + b4[None, :]) * alpha
+
+        # out[t, i, c] = sum_j M_eff[i, j, c] * x3[t, j, c]; full-tile FMAs
+        acc = jnp.zeros(x3.shape, jnp.float32)
+        for j in range(V):
+            # contiguous (V, C) block of m for this j, plus the static
+            # partition column/row (A[u,v]: u=out joint, v=in joint)
+            mj = m[j * V:(j + 1) * V, :]
+            a_j = A_ref[j, :] if transpose_m else A_ref[:, j]
+            mj = mj + a_j[:, None]
+            acc = acc + x3[:, j:j + 1, :] * mj[None, :, :]
+        out_ref[n] = acc
+
+
+def _pick_block_n(n: int, t: int, v: int, c: int) -> int:
+    """Samples per program: target ~4 MB of x3+out VMEM, power-of-2 divisor."""
+    per_sample = 2 * t * v * c * 4
+    target = max(1, (4 << 20) // max(per_sample, 1))
+    bn = 1
+    while bn * 2 <= min(target, n) and n % (bn * 2) == 0:
+        bn *= 2
+    return bn
 
 
 def _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A, *, transpose_m=False):
@@ -65,15 +90,16 @@ def _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A, *, transpose_m=False):
     R = x1.shape[-1]
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
     b4 = jnp.zeros((C,), x3.dtype) if b4 is None else b4
-    kernel = functools.partial(_fused_kernel, transpose_m=transpose_m)
+    bn = _pick_block_n(N, T, V, C)
+    kernel = functools.partial(_fused_kernel, transpose_m=transpose_m, block_n=bn)
     flops = 2 * N * (V * V * R * C + T * V * V * C)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // bn,),
         in_specs=[
-            pl.BlockSpec((1, V, R), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, R), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, V, C), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((bn, V, R), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, V, R), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, T, V, C), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
@@ -81,9 +107,12 @@ def _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A, *, transpose_m=False):
             pl.BlockSpec((V, V), lambda n: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, V, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
+            (bn, T, V, C), lambda n: (n, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, T, V, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * (2 * N * T * V * C + 2 * N * V * R + R * C),

@@ -41,9 +41,9 @@ class SharedTrainState(struct.PyTreeNode):
 DEFAULT_TP_RULES: tuple[tuple[str, P], ...] = (
     (r".*/fc/kernel$", P(None, "model")),
     (r".*/fc/bias$", P("model")),
-    (r".*/attention_transform/dense1/kernel$", P(None, "model")),
-    (r".*/attention_transform/dense1/bias$", P("model")),
-    (r".*/attention_transform/dense2/kernel$", P("model", None)),
+    (r".*/attention_transform_dense1/kernel$", P(None, "model")),
+    (r".*/attention_transform_dense1/bias$", P("model")),
+    (r".*/attention_transform_dense2/kernel$", P("model", None)),
 )
 
 
@@ -119,9 +119,12 @@ def init_sharded_state(
         )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    p_shard = param_shardings(mesh, params, tp_rules)
-    params = jax.device_put(params, p_shard)
-    batch_stats = jax.device_put(batch_stats, param_shardings(mesh, batch_stats))
+    if mesh.size > 1:  # see mesh.shard_batch: skip GSPMD arrays at size 1
+        p_shard = param_shardings(mesh, params, tp_rules)
+        params = jax.device_put(params, p_shard)
+        batch_stats = jax.device_put(
+            batch_stats, param_shardings(mesh, batch_stats)
+        )
     with mesh:
         opt_state = jax.jit(tx.init)(params)
     return SharedTrainState(

@@ -91,6 +91,9 @@ def base_parser(add_help: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--weights", default=None,
                    help="checkpoint dir or reference-exported .npz weights")
     p.add_argument("--ignore_weights", type=str, default=[], nargs="+")
+    p.add_argument("--freeze_params", type=str, default=[], nargs="+",
+                   help="param path prefixes excluded from optimisation "
+                        "(e.g. 'gcn' for the frozen fusion extractor)")
 
     # optimisation (reference recognition_rgb.py:136-141 + gcn.yaml extras)
     p.add_argument("--optimizer", default="SGD", choices=["SGD", "Adam"])

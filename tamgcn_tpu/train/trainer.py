@@ -110,7 +110,7 @@ class RecognitionTrainer:
         sample = self._example_batch()
         rng = jax.random.PRNGKey(arg.seed)
         with self.mesh:
-            variables = jax.jit(partial(self.model.init, train=False))(rng, sample)
+            variables = jax.jit(partial(self.model.init, train=False))(rng, *sample)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -122,10 +122,14 @@ class RecognitionTrainer:
         self._init_batch_stats = batch_stats
 
     def _example_batch(self):
+        """Zero batch matching the feeder's model inputs (all items except
+        the trailing label and index/name)."""
         first = self.test_feeder[0]
-        data = first[0]
         n = max(self.mesh.size, 2)
-        return jnp.zeros((n,) + data.shape, data.dtype)
+        return tuple(
+            jnp.zeros((n,) + np.asarray(a).shape, np.asarray(a).dtype)
+            for a in first[:-2]
+        )
 
     def _load_weights(self, params, batch_stats):
         """--weights: an .npz of a reference-exported torch state dict, or an
@@ -133,10 +137,7 @@ class RecognitionTrainer:
         arg = self.arg
         self.print_log(f"Load weights from {arg.weights}")
         if arg.weights.endswith(".npz"):
-            from ..utils.torch_import import import_ctrgcn_state_dict
-
-            state = dict(np.load(arg.weights))
-            variables = import_ctrgcn_state_dict(state)
+            variables = self._import_npz(dict(np.load(arg.weights)))
             new_params, new_stats = variables["params"], variables["batch_stats"]
         else:
             ckptr = Checkpointer(arg.weights)
@@ -150,6 +151,13 @@ class RecognitionTrainer:
         params = partial_update(params, new_params, log=self.print_log)
         batch_stats = partial_update(batch_stats, new_stats, log=self.print_log)
         return params, batch_stats
+
+    def _import_npz(self, state: dict):
+        """Map a reference-exported torch state-dict .npz onto this model's
+        variable tree. Overridden per model family."""
+        from ..utils.torch_import import import_ctrgcn_state_dict
+
+        return import_ctrgcn_state_dict(state)
 
     def _load_optimizer(self):
         arg = self.arg
@@ -165,6 +173,22 @@ class RecognitionTrainer:
             nesterov=arg.nesterov,
             weight_decay=arg.weight_decay,
         )
+        if arg.freeze_params:
+            # frozen subtrees get a zero update (and thus no weight decay) —
+            # the functional equivalent of requires_grad=False
+            # (reference models/resnet_gcn_attention.py:24-26)
+            prefixes = tuple(arg.freeze_params)
+
+            def label_fn(params):
+                def lab(path, _leaf):
+                    spath = "/".join(str(k.key) for k in path)
+                    return "frozen" if spath.startswith(prefixes) else "train"
+
+                return jax.tree_util.tree_map_with_path(lab, params)
+
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "frozen": optax.set_to_zero()}, label_fn
+            )
         with self.mesh:
             opt_state = jax.jit(self.tx.init)(self._init_params)
         self.state = TrainState(
@@ -173,9 +197,10 @@ class RecognitionTrainer:
             batch_stats=self._init_batch_stats,
             opt_state=opt_state,
         )
-        # replicate state over the mesh
-        rep = replicated(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        # replicate state over the mesh (skip GSPMD arrays at mesh size 1 —
+        # see parallel.mesh.shard_batch)
+        if self.mesh.size > 1:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
 
     # -- jitted steps ----------------------------------------------------------
 
@@ -183,27 +208,27 @@ class RecognitionTrainer:
         model = self.model
         tx_update = None  # bound lazily in train_step closure after tx exists
 
-        def loss_fn(params, batch_stats, data, label, dropout_rng, train):
+        def loss_fn(params, batch_stats, inputs, label, dropout_rng, train):
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             if train:
                 out, mutated = model.apply(
-                    variables, data, train=True,
+                    variables, *inputs, train=True,
                     mutable=["batch_stats"], rngs={"dropout": dropout_rng},
                 )
                 new_stats = mutated.get("batch_stats", batch_stats)
             else:
-                out = model.apply(variables, data, train=False)
+                out = model.apply(variables, *inputs, train=False)
                 new_stats = batch_stats
             loss = optax.softmax_cross_entropy_with_integer_labels(out, label).mean()
             return loss, (out, new_stats)
 
-        def train_step(state: TrainState, data, label, rng):
+        def train_step(state: TrainState, inputs, label, rng):
             dropout_rng = jax.random.fold_in(rng, state.step)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (logits, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, data, label, dropout_rng, True
+                state.params, state.batch_stats, inputs, label, dropout_rng, True
             )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -216,9 +241,9 @@ class RecognitionTrainer:
             )
             return new_state, loss, acc
 
-        def eval_step(state: TrainState, data, label):
+        def eval_step(state: TrainState, inputs, label):
             loss, (logits, _) = loss_fn(
-                state.params, state.batch_stats, data, label,
+                state.params, state.batch_stats, inputs, label,
                 jax.random.PRNGKey(0), False,
             )
             return loss, logits
@@ -238,14 +263,15 @@ class RecognitionTrainer:
         t0 = time.time()
         nseen = 0
         for it, batch in enumerate(loader):
-            data, label = batch[0], batch[-2]
+            inputs, label = batch[:-2], batch[-2]
             self.session.check_time("dataloader")
-            data, label = shard_batch(self.mesh, data, label.astype(np.int32))
-            self.state, loss, acc = self.train_step(self.state, data, label, rng)
+            sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
+            inputs, label = sharded[:-1], sharded[-1]
+            self.state, loss, acc = self.train_step(self.state, inputs, label, rng)
             self.session.check_time("device")
             losses.append(loss)
             accs.append(acc)
-            nseen += data.shape[0]
+            nseen += label.shape[0]
             if it % arg.log_interval == 0:
                 self.print_log(
                     f"\tIter {it}/{len(loader)} | loss: {float(loss):.4f} "
@@ -266,15 +292,18 @@ class RecognitionTrainer:
         loader = self.loaders["test"]
         losses, scores, labels = [], [], []
         for batch in loader:
-            data, label = batch[0], batch[-2]
-            n = data.shape[0]
+            inputs, label = batch[:-2], batch[-2]
+            n = label.shape[0]
             # pad the tail batch to a mesh-divisible size
             pad = (-n) % self.mesh.size
             if pad:
-                data = np.concatenate([data, data[:pad]], axis=0)
+                inputs = tuple(
+                    np.concatenate([a, a[:pad]], axis=0) for a in inputs
+                )
                 label = np.concatenate([label, label[:pad]], axis=0)
-            d, l = shard_batch(self.mesh, data, label.astype(np.int32))
-            loss, logits = self.eval_step(self.state, d, l)
+            sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
+            ins, l = sharded[:-1], sharded[-1]
+            loss, logits = self.eval_step(self.state, ins, l)
             logits = jax.device_get(logits)[:n]
             losses.append(float(loss))
             scores.append(logits)
@@ -383,10 +412,11 @@ class RecognitionTrainer:
                 }
             ),
         )
-        rep = replicated(self.mesh)
+        rep = replicated(self.mesh) if self.mesh.size > 1 else None
+        put = (lambda t: jax.device_put(t, rep)) if rep else jax.device_put
         self.state = self.state.replace(
-            params=jax.device_put(tree["params"], rep),
-            batch_stats=jax.device_put(tree["batch_stats"], rep),
+            params=put(tree["params"]),
+            batch_stats=put(tree["batch_stats"]),
             step=jnp.asarray(tree["step"]),
         )
         self.print_log(f"resumed from epoch{latest}")

@@ -149,11 +149,133 @@ def import_ctrgcn_state_dict(
     return b.variables()
 
 
+# ResNet block counts per torchvision arch name
+_RESNET_LAYERS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+def import_resnet_state_dict(
+    state: Mapping[str, np.ndarray],
+    arch: str = "resnet50",
+    bottleneck: bool = True,
+    in_channels_rgb: int = 3,
+    skip_fc: bool = False,
+) -> dict[str, Tree]:
+    """Map a torchvision-style ResNet state_dict (reference models/resnet.py
+    layout) onto tamgcn_tpu.models.resnet.ResNet flax variables.
+
+    in_channels_rgb > 3 inflates conv1 by channel replication / (k//3)
+    (reference models/resnet_gcn_attention.py:37-52).
+    """
+    sd = strip_module_prefix(state)
+    b = _TreeBuilder()
+
+    w1 = _conv_w(np.asarray(sd["conv1.weight"]))  # (7, 7, 3, 64)
+    if in_channels_rgb != 3:
+        k = in_channels_rgb // 3
+        w1 = np.concatenate([w1] * k, axis=2) / k
+    b._set(b.params, "conv1/kernel", w1)
+    b.bn(sd, "bn1", "bn1")
+
+    layers = _RESNET_LAYERS[arch]
+    n_convs = 3 if bottleneck else 2
+    for li, n in enumerate(layers, start=1):
+        for bi in range(n):
+            t, f = f"layer{li}.{bi}", f"layer{li}_{bi}"
+            for ci in range(1, n_convs + 1):
+                b.conv(sd, f"{t}.conv{ci}", f"{f}/conv{ci}", bias=False)
+                b.bn(sd, f"{t}.bn{ci}", f"{f}/bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                b.conv(sd, f"{t}.downsample.0", f"{f}/downsample_conv", bias=False)
+                b.bn(sd, f"{t}.downsample.1", f"{f}/downsample_bn")
+    if not skip_fc and "fc.weight" in sd:
+        b.dense(sd, "fc", "fc")
+    return b.variables()
+
+
+def _merge_subtree(variables: dict, new: dict, submodule: str | None) -> dict:
+    """Graft `new` {params, batch_stats} under variables[...][submodule]."""
+    out = {k: dict(v) for k, v in variables.items()}
+
+    def merge(dst: dict, src: dict):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                dst[k] = dict(dst[k])
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    for col in ("params", "batch_stats"):
+        if col not in new:
+            continue
+        root = out.setdefault(col, {})
+        node = root
+        if submodule:
+            for part in submodule.split("/"):
+                node[part] = dict(node.get(part, {}))
+                node = node[part]
+        merge(node, new[col])
+    return out
+
+
+def load_torch_resnet_npz(
+    path: str,
+    variables: dict,
+    arch: str = "resnet50",
+    submodule: str | None = None,
+    skip_fc: bool = True,
+    in_channels_rgb: int = 3,
+) -> dict:
+    """Load an exported torchvision ResNet .npz and merge into flax variables."""
+    state = dict(np.load(path))
+    new = import_resnet_state_dict(
+        state, arch=arch, in_channels_rgb=in_channels_rgb, skip_fc=skip_fc
+    )
+    return _merge_subtree(variables, new, submodule)
+
+
 _STGCN_BLOCKS = [
     (3, 64, 1, False), (64, 64, 1, True), (64, 64, 1, True), (64, 64, 1, True),
     (64, 128, 2, True), (128, 128, 1, True), (128, 128, 1, True),
     (128, 256, 2, True), (256, 256, 1, True), (256, 256, 1, True),
 ]
+
+
+def import_fusion_state_dict(
+    state: Mapping[str, np.ndarray],
+    in_channels: int = 3,
+) -> dict[str, Tree]:
+    """Map a reference models/resnet_gcn_attention.py state_dict onto
+    ResNetGCNAttention flax variables (gcn + resnet trunks + attention MLP +
+    classifier; reference :13-70)."""
+    sd = strip_module_prefix(state)
+    gcn_sd = {k[len("gcn."):]: v for k, v in sd.items() if k.startswith("gcn.")}
+    resnet_sd = {
+        k[len("resnet."):]: v for k, v in sd.items() if k.startswith("resnet.")
+    }
+    gcn = import_ctrgcn_state_dict(gcn_sd, in_channels=in_channels)
+    # the fusion model only uses gcn.extract_feature — its fc head is unused
+    # and never initialised by flax (reference keeps the dead module)
+    gcn["params"].pop("fc", None)
+    # conv1 already inflated inside the reference model; map 1:1
+    resnet = import_resnet_state_dict(resnet_sd, skip_fc=True)
+
+    b = _TreeBuilder()
+    b.dense(sd, "attention_transform.0", "attention_transform_dense1")
+    b.bn(sd, "attention_transform.1", "attention_transform_bn")
+    b.dense(sd, "attention_transform.3", "attention_transform_dense2")
+    b.dense(sd, "classifier", "classifier")
+    variables = b.variables()
+    variables["params"]["gcn"] = gcn["params"]
+    variables["batch_stats"]["gcn"] = gcn["batch_stats"]
+    variables["params"]["resnet"] = resnet["params"]
+    variables["batch_stats"]["resnet"] = resnet["batch_stats"]
+    return variables
 
 
 def import_stgcn_state_dict(
