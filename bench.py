@@ -121,7 +121,10 @@ def main():
     enable_compilation_cache()
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    edges_per_s, speedup = bench_kernel()
+    # headline shape: the deep-layer CTR-GC (C=256), where the XLA path's
+    # (N, V, V, C) intermediate is 4x the activation traffic
+    edges_per_s, speedup = bench_kernel(n=64, t=13, v=20, c=256, r=32)
+    bench_kernel(n=64, t=52, v=20, c=64, r=8)  # shallow layer, context
     try:
         samples_per_s = bench_train_step()
         log(f"train throughput: {samples_per_s:.1f} samples/s")

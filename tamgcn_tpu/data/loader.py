@@ -89,8 +89,14 @@ class Loader:
     def __iter__(self) -> Iterator[tuple]:
         idx = self._indices()
         nb = len(self)
+        get_batch = getattr(self.dataset, "get_batch", None)
         with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
             for b in range(nb):
                 chunk = idx[b * self.local_batch:(b + 1) * self.local_batch]
+                if get_batch is not None:
+                    batch = get_batch(chunk)
+                    if batch is not None:  # native fast path
+                        yield batch
+                        continue
                 samples = list(pool.map(self.dataset.__getitem__, chunk))
                 yield _collate(samples)

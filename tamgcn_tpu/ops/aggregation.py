@@ -87,10 +87,14 @@ def ctr_gc_fused(
 ) -> jax.Array:
     """Dispatch the fused CTR-GC op: Pallas on TPU, XLA elsewhere.
 
-    use_pallas=None auto-selects by backend platform.
+    use_pallas=None auto-selects by backend platform and shape: the fused
+    kernel pays off where the XLA path's (N, V, V, C) dynamic-adjacency
+    intermediate dominates HBM traffic (wide channels); at narrow channels
+    XLA's fusion is already near the per-op overhead floor (measured on
+    v5e: 1.5-1.6x for C>=256, ~0.9x at C=64).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and x3.shape[-1] >= 128
     if use_pallas:
         from .pallas.ctr_gc import ctr_gc_fused_pallas
 

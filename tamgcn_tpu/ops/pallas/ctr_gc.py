@@ -50,27 +50,21 @@ def _fused_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
         x1 = x1_ref[n]  # (V, R)
         x2 = x2_ref[n]  # (V, R)
         x3 = x3_ref[n]  # (T, V, C)
-        # All V*V dynamic-adjacency entries in one MXU matmul, laid out so
-        # that the rows needed per accumulation step are CONTIGUOUS:
-        #   forward:  step v accumulates M[:, v, :]  -> order (v, u)
-        #   transpose: step u accumulates M[u, :, :] -> order (u, v)
-        if transpose_m:
-            d = jnp.tanh(x1[:, None, :] - x2[None, :, :])  # (u, v, R)
-        else:
-            d = jnp.tanh(x1[None, :, :] - x2[:, None, :])  # (v, u, R)
-        m = jnp.dot(
-            d.reshape(V * V, -1), w4_ref[:], preferred_element_type=jnp.float32
-        )  # (V*V, C), row j*V+i
-        m = (m + b4[None, :]) * alpha
-
-        # out[t, i, c] = sum_j M_eff[i, j, c] * x3[t, j, c]; full-tile FMAs
+        # out[t, i, c] = sum_j M_eff[i, j, c] * x3[t, j, c].
+        # Per step j: one (V, R) tanh + one (V, R)@(R, C) MXU matmul builds
+        # column j of the dynamic adjacency; one full-tile (T, V, C) FMA
+        # accumulates — no strided stores, no cross-tile reshapes.
         acc = jnp.zeros(x3.shape, jnp.float32)
         for j in range(V):
-            # contiguous (V, C) block of m for this j, plus the static
-            # partition column/row (A[u,v]: u=out joint, v=in joint)
-            mj = m[j * V:(j + 1) * V, :]
-            a_j = A_ref[j, :] if transpose_m else A_ref[:, j]
-            mj = mj + a_j[:, None]
+            if transpose_m:
+                # M^T aggregation (dL/dx3): column j needs D[j, :, :]
+                dj = jnp.tanh(x1[j][None, :] - x2)  # (V, R)
+                a_j = A_ref[j, :]
+            else:
+                dj = jnp.tanh(x1 - x2[j][None, :])  # (V, R)
+                a_j = A_ref[:, j]
+            mj = jnp.dot(dj, w4_ref[:], preferred_element_type=jnp.float32)
+            mj = (mj + b4[None, :]) * alpha + a_j[:, None]  # (V, C)
             acc = acc + x3[:, j:j + 1, :] * mj[None, :, :]
         out_ref[n] = acc
 

@@ -58,6 +58,16 @@ def shard_batch(mesh: Mesh, *arrays):
     """
     if mesh.size == 1:
         out = tuple(jax.device_put(a) for a in arrays)
+    elif jax.process_count() > 1:
+        # multi-host: each process holds its local shard of the global batch
+        # (the Loader already splits indices per process); assemble global
+        # arrays (the TPU-native replacement for per-GPU DataLoader scaling,
+        # reference processor/processor.py:61-62)
+        sh = batch_sharding(mesh)
+        out = tuple(
+            jax.make_array_from_process_local_data(sh, np.asarray(a))
+            for a in arrays
+        )
     else:
         sh = batch_sharding(mesh)
         out = tuple(jax.device_put(a, sh) for a in arrays)

@@ -117,6 +117,10 @@ def base_parser(add_help: bool = False) -> argparse.ArgumentParser:
                    help="force Pallas kernels on/off (default: auto by backend)")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir (enables per-step traces)")
+    p.add_argument("--debug_nans", type=str2bool, default=False,
+                   help="enable jax_debug_nans (fail fast on NaN/Inf)")
+    p.add_argument("--distributed", type=str2bool, default=False,
+                   help="call jax.distributed.initialize() for multi-host runs")
     return p
 
 

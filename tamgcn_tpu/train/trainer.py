@@ -47,6 +47,10 @@ class RecognitionTrainer:
 
     def __init__(self, arg):
         self.arg = arg
+        if getattr(arg, "distributed", False) and jax.process_count() == 1:
+            jax.distributed.initialize()
+        if getattr(arg, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
         self.session = Session(arg.work_dir, arg.save_log, arg.print_log)
         self.session.save_arg(arg)
         self.print_log = self.session.print_log
