@@ -16,6 +16,10 @@ def get_feeder(name: str, **feeder_args):
         from .feeder_nucla_fusion import NUCLAFeederFusion
 
         return NUCLAFeederFusion(**feeder_args)
+    if name in ("skeleton_gcn",):
+        from .feeder_skeleton_gcn import SkeletonFeederGCN
+
+        return SkeletonFeederGCN(**feeder_args)
     if name in ("synthetic_gcn",):
         from .synthetic import SyntheticSkeletonFeeder
 

@@ -23,6 +23,25 @@ NUCLA_BONES = [
     (17, 1), (18, 17), (19, 18), (20, 19),
 ]
 
+# NTU RGB+D bone list: (joint, parent) 1-based, Kinect-v2 25-joint layout
+# (the inward edges of graphs/ntu_rgb_d.py plus the spine-shoulder root)
+NTU_BONES = [
+    (1, 2), (2, 21), (3, 21), (4, 3), (5, 21), (6, 5), (7, 6), (8, 7),
+    (9, 21), (10, 9), (11, 10), (12, 11), (13, 1), (14, 13), (15, 14),
+    (16, 15), (17, 1), (18, 17), (19, 18), (20, 19), (21, 21), (22, 23),
+    (23, 8), (24, 25), (25, 12),
+]
+
+
+def bones_for(num_joint: int) -> list[tuple[int, int]]:
+    """Bone (child, parent) table for a skeleton layout, keyed by joint count."""
+    if num_joint == 20:
+        return NUCLA_BONES
+    if num_joint == 25:
+        return NTU_BONES
+    raise ValueError(f"no bone table for {num_joint}-joint skeletons")
+
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -207,6 +226,44 @@ def random_shift(data: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     bias = int(rng.integers(0, T - size + 1))
     out[:, bias:bias + size] = data[:, begin:end]
     return out
+
+
+def pose_match(data: np.ndarray) -> np.ndarray:
+    """Track multi-person pose identities across frames (reference
+    feeder/tools.py:133-174 `openpose_match` capability).
+
+    data: (3, T, V, M) with channel 2 = per-joint confidence. Bodies are
+    matched frame-to-frame greedily in descending per-frame confidence
+    order by nearest xy distance, identity chains are strung through time,
+    and the person axis is re-ordered by total trace confidence.
+    """
+    C, T, V, M = data.shape
+    if C != 3:
+        raise ValueError("pose_match expects (3, T, V, M) with confidence in channel 2")
+    xy = data[0:2]                      # (2, T, V, M)
+    conf = data[2].sum(axis=1)          # (T, M) per-frame body confidence
+    # squared xy distance between every body in frame t and frame t+1
+    diff = xy[:, :-1, :, :, None] - xy[:, 1:, :, None, :]   # (2, T-1, V, M, M)
+    dist = (diff ** 2).sum(axis=(0, 2))                      # (T-1, M, M)
+
+    ident = np.zeros((T, M), dtype=int)  # ident[t, m]: body slot of trace m at t
+    ident[0] = np.arange(M)
+    for t in range(T - 1):
+        taken = np.zeros(M, bool)
+        step = np.zeros(M, dtype=int)
+        for b in np.argsort(-conf[t]):   # most confident body first
+            d = dist[t, b].copy()
+            d[taken] = np.inf
+            nxt = int(d.argmin())
+            taken[nxt] = True
+            step[b] = nxt
+        ident[t + 1] = step[ident[t]]
+
+    out = np.zeros_like(data)
+    for t in range(T):
+        out[:, t] = data[:, t, :, ident[t]].transpose(1, 2, 0)
+    order = np.argsort(-out[2].sum(axis=(0, 1)))  # total trace confidence
+    return out[:, :, :, order]
 
 
 # ---------------------------------------------------------------------------

@@ -44,34 +44,53 @@ def _fused_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
     """
     alpha = alpha_ref[0, 0]
     b4 = b4_ref[0]  # (C,)
-    V = x1_ref.shape[1]
+    BN, V, R = x1_ref.shape
+    C = x3_ref.shape[-1]
 
-    for n in range(block_n):
-        x1 = x1_ref[n]  # (V, R)
-        x2 = x2_ref[n]  # (V, R)
-        x3 = x3_ref[n]  # (T, V, C)
-        # out[t, i, c] = sum_j M_eff[i, j, c] * x3[t, j, c].
-        # Per step j: one (V, R) tanh + one (V, R)@(R, C) MXU matmul builds
-        # column j of the dynamic adjacency; one full-tile (T, V, C) FMA
-        # accumulates — no strided stores, no cross-tile reshapes.
-        acc = jnp.zeros(x3.shape, jnp.float32)
-        for j in range(V):
-            if transpose_m:
-                # M^T aggregation (dL/dx3): column j needs D[j, :, :]
-                dj = jnp.tanh(x1[j][None, :] - x2)  # (V, R)
-                a_j = A_ref[j, :]
-            else:
-                dj = jnp.tanh(x1 - x2[j][None, :])  # (V, R)
-                a_j = A_ref[:, j]
-            mj = jnp.dot(dj, w4_ref[:], preferred_element_type=jnp.float32)
-            mj = (mj + b4[None, :]) * alpha + a_j[:, None]  # (V, C)
-            acc = acc + x3[:, j:j + 1, :] * mj[None, :, :]
-        out_ref[n] = acc
+    x1 = x1_ref[:]  # (BN, V, R)
+    x2 = x2_ref[:]  # (BN, V, R)
+    x3 = x3_ref[:]  # (BN, T, V, C)
+    # out[n, t, i, c] = sum_j M_eff[n, i, j, c] * x3[n, t, j, c].
+    # Stage 1 (MXU): ALL of the block's dynamic-adjacency entries in one
+    # (BN*V*V, R) @ (R, C) matmul — thousands of rows keep the systolic
+    # array busy, vs the V=20-row matmuls a per-sample/per-joint loop emits.
+    # m_eff is laid out [n, j, i, c] (j = input joint, i = output joint) so
+    # stage 2 slices it on its leading-of-(j,i) axis.
+    if transpose_m:
+        # M^T aggregation (dL/dx3): m_eff[j, i] = M[j, i]
+        d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (BN, j, i, R)
+        a_eff = A_ref[:]
+    else:
+        # forward: m_eff[j, i] = M[i, j]
+        d = jnp.tanh(x1[:, None, :, :] - x2[:, :, None, :])  # (BN, j, i, R)
+        a_eff = A_ref[:].T
+    m = jnp.dot(
+        d.reshape(BN * V * V, R), w4_ref[:], preferred_element_type=jnp.float32
+    ).reshape(BN, V, V, C)
+    m = (m + b4[None, None, None, :]) * alpha + a_eff[None, :, :, None]
+
+    # Stage 2 (VPU): V broadcast-FMA steps over the full block, accumulated
+    # in short value chains that are flushed THROUGH out_ref — each store
+    # kills the chain's temporaries, so only `chunk` (BN, T, V, C) tiles are
+    # ever live (a fully unrolled value-chain overflows scoped VMEM; a
+    # fori_loop defeats Mosaic's vectorizer and runs ~2x slower).
+    chunk = 5
+    out_ref[:] = jnp.zeros(x3.shape, jnp.float32)
+    for j0 in range(0, V, chunk):
+        acc = x3[:, :, j0:j0 + 1, :] * m[:, j0, :, :][:, None, :, :]
+        for j in range(j0 + 1, min(j0 + chunk, V)):
+            acc = acc + x3[:, :, j:j + 1, :] * m[:, j, :, :][:, None, :, :]
+        out_ref[:] += acc
 
 
 def _pick_block_n(n: int, t: int, v: int, c: int) -> int:
-    """Samples per program: target ~4 MB of x3+out VMEM, power-of-2 divisor."""
-    per_sample = 2 * t * v * c * 4
+    """Samples per program: target ~4 MB of x3+out+m VMEM, power-of-2 divisor.
+
+    The budget must count the in-kernel (BN, V, V, C) refined-adjacency
+    tensor — at short T it dominates, and letting BN grow unchecked
+    overflows scoped VMEM (and blows up the Mosaic compile itself).
+    """
+    per_sample = (2 * t * v * c + v * v * c) * 4
     target = max(1, (4 << 20) // max(per_sample, 1))
     bn = 1
     while bn * 2 <= min(target, n) and n % (bn * 2) == 0:

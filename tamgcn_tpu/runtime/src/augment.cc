@@ -64,10 +64,25 @@ struct Xoshiro256 {
 
 // bone (child, parent) pairs, 1-based, NW-UCLA 20 joints
 // (reference feeder_nucla_gcn.py:27-28)
-const int kBones[20][2] = {
+const int kBonesNucla[20][2] = {
     {1, 2},  {2, 3},   {3, 3},   {4, 3},   {5, 3},   {6, 5},   {7, 6},
     {8, 7},  {9, 3},   {10, 9},  {11, 10}, {12, 11}, {13, 1},  {14, 13},
     {15, 14}, {16, 15}, {17, 1},  {18, 17}, {19, 18}, {20, 19}};
+
+// NTU RGB+D Kinect-v2 25-joint bone pairs (graphs/ntu_rgb_d.py inward edges
+// plus the spine-shoulder root)
+const int kBonesNtu[25][2] = {
+    {1, 2},   {2, 21},  {3, 21},  {4, 3},   {5, 21},  {6, 5},   {7, 6},
+    {8, 7},   {9, 21},  {10, 9},  {11, 10}, {12, 11}, {13, 1},  {14, 13},
+    {15, 14}, {16, 15}, {17, 1},  {18, 17}, {19, 18}, {20, 19}, {21, 21},
+    {22, 23}, {23, 8},  {24, 25}, {25, 12}};
+
+// bone table for a joint count; nullptr when none exists
+inline const int (*bone_table(int V))[2] {
+  if (V == 20) return kBonesNucla;
+  if (V == 25) return kBonesNtu;
+  return nullptr;
+}
 
 enum Modality { kJoint = 0, kBone = 1, kMotion = 2 };
 
@@ -138,11 +153,12 @@ void augment_one(const double* skel, int t_in, int V, int t_out, int train,
     std::memcpy(&data[size_t(t) * V * 3], &buf[size_t(idx[t]) * V * 3],
                 sizeof(double) * V * 3);
 
-  if (modality == kBone && V == 20) {  // (reference :119-123)
+  const int(*bones)[2] = bone_table(V);
+  if (modality == kBone && bones != nullptr) {  // (reference :119-123)
     std::vector<double> bone(size_t(t_out) * V * 3, 0.0);
     for (int t = 0; t < t_out; ++t)
-      for (int b = 0; b < 20; ++b) {
-        const int child = kBones[b][0] - 1, parent = kBones[b][1] - 1;
+      for (int b = 0; b < V; ++b) {
+        const int child = bones[b][0] - 1, parent = bones[b][1] - 1;
         for (int c = 0; c < 3; ++c)
           bone[(size_t(t) * V + child) * 3 + c] =
               data[(size_t(t) * V + child) * 3 + c] -
@@ -188,6 +204,6 @@ void tamgcn_augment_batch(const double* skeletons, const int64_t* offsets,
   }
 }
 
-int tamgcn_version() { return 1; }
+int tamgcn_version() { return 2; }
 
 }  // extern "C"

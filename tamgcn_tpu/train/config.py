@@ -65,6 +65,10 @@ def base_parser(add_help: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--phase", default="train", choices=["train", "test"])
     p.add_argument("--save_result", type=str2bool, default=False)
     p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--resume", type=str2bool, default=False,
+                   help="restore the latest work-dir checkpoint and continue "
+                        "(crash recovery; reference equivalent is manual "
+                        "--start_epoch + --weights)")
     p.add_argument("--num_epoch", type=int, default=80)
     p.add_argument("--seed", type=int, default=1)
 

@@ -335,10 +335,13 @@ class RecognitionTrainer:
 
     def _train_phase(self):
         arg = self.arg
+        start_epoch = arg.start_epoch
+        if getattr(arg, "resume", False):
+            start_epoch = max(start_epoch, self.resume())
         if arg.profile_dir:
             jax.profiler.start_trace(arg.profile_dir)
         try:
-            for epoch in range(arg.start_epoch, arg.num_epoch):
+            for epoch in range(start_epoch, arg.num_epoch):
                 self.meta["epoch"] = epoch
                 self.print_log(f"Training epoch: {epoch + 1}")
                 train_loss = self.train_epoch(epoch)

@@ -157,3 +157,103 @@ def test_tools_metrics():
     assert len(prec) == 2 and len(rec) == 2
     cm = T.confusion_matrix(label, score)
     assert cm.sum() == 3
+
+
+@pytest.fixture(scope="module")
+def ntu_dir(tmp_path_factory):
+    """Synthetic NTU-style dataset: 25 joints, mixed 1/2-person clips,
+    flat `<name>.json` layout + `<split>_split.json` lists."""
+    root = tmp_path_factory.mktemp("ntu")
+    rng = np.random.default_rng(3)
+    for split, n in (("train", 24), ("val", 12)):
+        records = []
+        for i in range(n):
+            name = f"S001C001P{i:03d}R001A{(i % 6) + 1:03d}"
+            t = int(rng.integers(10, 40))
+            if i % 3 == 0:  # two-person clip
+                skel = rng.normal(size=(t, 2, 25, 3)).tolist()
+            else:
+                skel = rng.normal(size=(t, 25, 3)).tolist()
+            with open(root / f"{name}.json", "w") as f:
+                json.dump({"skeletons": skel}, f)
+            records.append({"file_name": name, "label": (i % 6) + 1})
+        with open(root / f"{split}_split.json", "w") as f:
+            json.dump(records, f)
+    return str(root)
+
+
+def test_skeleton_feeder_ntu_shapes(ntu_dir):
+    f = get_feeder(
+        "skeleton_gcn", data_path=ntu_dir, split="val", time_steps=16,
+        num_person=2, backend="numpy",
+    )
+    data, label, idx = f[0]
+    assert data.shape == (3, 16, 25, 2)
+    assert data.dtype == np.float32
+    assert 0 <= label < 6
+    # single-person clip -> second person slot is zero padding
+    d1, _, _ = f[1]
+    assert np.all(d1[..., 1] == 0)
+    assert not np.all(d1[..., 0] == 0)
+
+
+def test_skeleton_feeder_ntu_modalities(ntu_dir):
+    for modality in ("bone", "motion"):
+        f = get_feeder(
+            "skeleton_gcn", data_path=ntu_dir, split="val", time_steps=16,
+            num_person=2, modality=modality, backend="numpy",
+        )
+        data, _, _ = f[0]
+        assert data.shape == (3, 16, 25, 2)
+        assert np.isfinite(data).all()
+    # motion: last frame is the zero diff
+    assert np.all(data[:, -1] == 0)
+
+
+def test_skeleton_feeder_train_deterministic(ntu_dir):
+    f = get_feeder(
+        "skeleton_gcn", data_path=ntu_dir, split="train", time_steps=16,
+        num_person=2, seed=5, backend="numpy",
+    )
+    a, _, _ = f[4]
+    b, _, _ = f[4]
+    np.testing.assert_array_equal(a, b)
+    f.set_epoch(2)
+    c, _, _ = f[4]
+    assert not np.array_equal(a, c)
+
+
+def test_bones_for_tables():
+    assert len(T.bones_for(20)) == 20
+    assert len(T.bones_for(25)) == 25
+    with pytest.raises(ValueError):
+        T.bones_for(17)
+    # every child appears exactly once per table
+    for v in (20, 25):
+        children = [c for c, _ in T.bones_for(v)]
+        assert sorted(children) == list(range(1, v + 1))
+
+
+def test_pose_match_tracks_identity_swap():
+    # two bodies moving on straight lines; the raw data swaps their slots
+    # halfway through — pose_match must string identities back together
+    rng = np.random.default_rng(0)
+    t_len, V = 20, 5
+    base = rng.normal(size=(1, 1, V, 1)) * 0.05
+    track_a = base + np.stack(
+        [np.linspace(0, 1, t_len), np.linspace(0, 0.5, t_len), np.ones(t_len)]
+    ).reshape(3, t_len, 1, 1)
+    track_b = base + np.stack(
+        [np.linspace(5, 4, t_len), np.linspace(2, 2.5, t_len), np.full(t_len, 0.5)]
+    ).reshape(3, t_len, 1, 1)
+    data = np.concatenate([track_a, track_b], axis=-1)  # (3, T, V, 2)
+    swapped = data.copy()
+    swapped[:, t_len // 2:] = data[:, t_len // 2:, :, ::-1]
+    out = T.pose_match(swapped)
+    # person 0 = higher total confidence (track_a, conf 1.0 > 0.5)
+    np.testing.assert_allclose(
+        out[0, :, 0, 0], base[0, 0, 0, 0] + np.linspace(0, 1, t_len)
+    )
+    np.testing.assert_allclose(
+        out[0, :, 0, 1], base[0, 0, 0, 0] + np.linspace(5, 4, t_len)
+    )

@@ -74,3 +74,29 @@ def test_feeder_native_batch_path(tmp_path):
     # eval pipeline identical across backends
     np.testing.assert_allclose(bn[0], bp[0], atol=1e-6)
     np.testing.assert_array_equal(bn[1], bp[1])
+
+
+def test_skeleton_feeder_native_ntu_bone(tmp_path):
+    """Generic feeder: native path matches numpy for NTU-25 incl. bone table."""
+    from tamgcn_tpu.data import Loader, get_feeder
+
+    rs = np.random.default_rng(5)
+    records = []
+    for i in range(16):
+        name = f"clip{i:03d}"
+        skel = rs.normal(size=(int(rs.integers(8, 30)), 25, 3)).tolist()
+        with open(tmp_path / f"{name}.json", "w") as f:
+            json.dump({"skeletons": skel}, f)
+        records.append({"file_name": name, "label": (i % 4) + 1})
+    with open(tmp_path / "val_split.json", "w") as f:
+        json.dump(records, f)
+
+    for modality in ("joint", "bone", "motion"):
+        fn = get_feeder("skeleton_gcn", data_path=str(tmp_path), split="val",
+                        time_steps=20, modality=modality, backend="native")
+        fp = get_feeder("skeleton_gcn", data_path=str(tmp_path), split="val",
+                        time_steps=20, modality=modality, backend="numpy")
+        bn = next(iter(Loader(fn, batch_size=16)))
+        bp = next(iter(Loader(fp, batch_size=16)))
+        np.testing.assert_allclose(bn[0], bp[0], atol=1e-6, err_msg=modality)
+        np.testing.assert_array_equal(bn[1], bp[1])

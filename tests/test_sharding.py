@@ -86,3 +86,40 @@ def test_sharded_train_step_matches_single_device():
     loss1, fc1 = run(make_mesh(1, 1, devices=jax.devices()[:1]))
     assert loss8 == pytest.approx(loss1, rel=1e-5)
     np.testing.assert_allclose(fc8, fc1, rtol=1e-4, atol=1e-6)
+
+
+def test_ring_aggregate_matches_einsum():
+    """Edge-partitioned ring aggregation == dense einsum on the 8-dev mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from tamgcn_tpu.parallel.graph_parallel import ring_aggregate, shard_joints
+
+    rs = np.random.RandomState(0)
+    for k in (2, 4):
+        devs = np.asarray(jax.devices()[:k])
+        mesh = Mesh(devs.reshape(1, k), ("data", "model"))
+        N, T, V, C = 4, 6, 24, 16
+        x = jnp.asarray(rs.randn(N, T, V, C), jnp.float32)
+        A = jnp.asarray(rs.rand(V, V), jnp.float32)
+        want = np.einsum("uv,ntvc->ntuc", A, x)
+        xs = shard_joints(mesh, x)
+        got = jax.jit(
+            lambda xx, aa: ring_aggregate(xx, aa, mesh)
+        )(xs, A)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    # degenerate k=1 path
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    got1 = ring_aggregate(x, A, mesh1)
+    np.testing.assert_allclose(np.asarray(got1), want, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_aggregate_rejects_indivisible():
+    import numpy as np
+    from jax.sharding import Mesh
+    from tamgcn_tpu.parallel.graph_parallel import ring_aggregate
+
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs.reshape(1, 4), ("data", "model"))
+    x = jnp.zeros((2, 3, 10, 8), jnp.float32)  # V=10 % 4 != 0
+    with pytest.raises(ValueError):
+        ring_aggregate(x, jnp.eye(10), mesh)

@@ -78,6 +78,18 @@ def test_end_to_end_smoke_training(tmp_path):
     trainer2 = RecognitionTrainer(arg)
     nxt = trainer2.resume()
     assert nxt == 3
+
+    # --resume true: auto-restores the latest checkpoint; with num_epoch
+    # already reached, the train loop is a no-op (crash recovery semantics)
+    arg3 = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", work, "--num_epoch", "3",
+         "--resume", "true"]
+    )
+    trainer3 = RecognitionTrainer(arg3)
+    trainer3.start()
+    log3 = open(os.path.join(work, "log.txt")).read()
+    assert "resumed from epoch3" in log3
+    assert "Training epoch: 4" not in log3
     loss2, t1_2, _ = trainer2.test_epoch()
     loss1, t1_1, _ = trainer.test_epoch()
     assert t1_2 == pytest.approx(t1_1)
