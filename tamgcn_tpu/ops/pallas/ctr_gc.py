@@ -84,14 +84,19 @@ def _fused_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
 
 
 def _pick_block_n(n: int, t: int, v: int, c: int) -> int:
-    """Samples per program: target ~4 MB of x3+out+m VMEM, power-of-2 divisor.
+    """Samples per program: target ~3 MB of x3+out+m+acc VMEM (padded),
+    power-of-2 divisor.
 
-    The budget must count the in-kernel (BN, V, V, C) refined-adjacency
-    tensor — at short T it dominates, and letting BN grow unchecked
-    overflows scoped VMEM (and blows up the Mosaic compile itself).
+    Sized against Mosaic's PADDED tile shapes — V rounds up to 8 sublanes,
+    C to 128 lanes — and counting the live accumulator chains alongside
+    x3/out/m. Undercounting here overflows the 16 MB scoped-VMEM stack at
+    narrow C (where lane padding doubles every tensor), which shows up only
+    when XLA embeds the kernel in a larger program.
     """
-    per_sample = (2 * t * v * c + v * v * c) * 4
-    target = max(1, (4 << 20) // max(per_sample, 1))
+    vp = -(-v // 8) * 8
+    cp = -(-c // 128) * 128
+    per_sample = (3 * t * vp * cp + v * vp * cp) * 4
+    target = max(1, (3 << 20) // max(per_sample, 1))
     bn = 1
     while bn * 2 <= min(target, n) and n % (bn * 2) == 0:
         bn *= 2
