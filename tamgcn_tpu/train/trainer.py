@@ -28,6 +28,7 @@ import optax
 from flax import struct
 
 from ..data import Loader, get_feeder
+from ..data.loader import prefetch
 from ..models import get_model
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .checkpoint import Checkpointer, filter_ignore, partial_update
@@ -266,11 +267,16 @@ class RecognitionTrainer:
         self.session.init_timer("dataloader", "device", "statistics")
         t0 = time.time()
         nseen = 0
-        for it, batch in enumerate(loader):
+
+        def put(batch):
+            """Producer-thread H2D: overlaps the next batch's transfer +
+            augmentation with the current step (loader.prefetch)."""
             inputs, label = batch[:-2], batch[-2]
-            self.session.check_time("dataloader")
             sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
-            inputs, label = sharded[:-1], sharded[-1]
+            return sharded[:-1], sharded[-1]
+
+        for it, (inputs, label) in enumerate(prefetch(iter(loader), put)):
+            self.session.check_time("dataloader")
             self.state, loss, acc = self.train_step(self.state, inputs, label, rng)
             self.session.check_time("device")
             losses.append(loss)
@@ -295,7 +301,8 @@ class RecognitionTrainer:
     def test_epoch(self):
         loader = self.loaders["test"]
         losses, scores, labels = [], [], []
-        for batch in loader:
+
+        def put(batch):
             inputs, label = batch[:-2], batch[-2]
             n = label.shape[0]
             # pad the tail batch to a mesh-divisible size
@@ -306,13 +313,17 @@ class RecognitionTrainer:
                 )
                 label = np.concatenate([label, label[:pad]], axis=0)
             sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
-            ins, l = sharded[:-1], sharded[-1]
+            return sharded[:-1], sharded[-1], n, np.asarray(batch[-2])
+
+        for ins, l, n, label_np in prefetch(iter(loader), put):
             loss, logits = self.eval_step(self.state, ins, l)
-            logits = jax.device_get(logits)[:n]
-            losses.append(float(loss))
-            scores.append(logits)
-            labels.append(np.asarray(batch[-2]))
-        scores = np.concatenate(scores)
+            # keep results on device; one bulk fetch below (each early
+            # device_get costs a full dispatch-sync round trip)
+            losses.append(loss)
+            scores.append(logits[:n])
+            labels.append(label_np)
+        losses = [float(x) for x in jax.device_get(losses)]
+        scores = np.concatenate(jax.device_get(scores))
         labels = np.concatenate(labels)
         mean_loss = float(np.mean(losses))
         pred = scores.argmax(axis=1)
@@ -402,6 +413,15 @@ class RecognitionTrainer:
             }
         )
         self.ckpt.save(name, tree)
+        if name.startswith("epoch"):
+            # epoch checkpoints are resume points: persist optimiser state
+            # (momentum buffers) as a sibling tree so the weight tree keeps
+            # the plain {params, batch_stats, step} layout weight-loading
+            # consumers expect
+            self.ckpt.save(
+                f"{name}_opt",
+                {"opt_state": jax.device_get(self.state.opt_state)},
+            )
         self.print_log(f"checkpoint saved: {name}")
 
     def resume(self):
@@ -426,5 +446,11 @@ class RecognitionTrainer:
             batch_stats=put(tree["batch_stats"]),
             step=jnp.asarray(tree["step"]),
         )
+        if self.ckpt.exists(f"epoch{latest}_opt"):
+            opt = self.ckpt.restore(
+                f"epoch{latest}_opt",
+                target={"opt_state": jax.device_get(self.state.opt_state)},
+            )["opt_state"]
+            self.state = self.state.replace(opt_state=put(opt))
         self.print_log(f"resumed from epoch{latest}")
         return latest

@@ -78,6 +78,17 @@ def test_end_to_end_smoke_training(tmp_path):
     trainer2 = RecognitionTrainer(arg)
     nxt = trainer2.resume()
     assert nxt == 3
+    # optimiser state (momentum buffers) resumes exactly, not re-initialised
+    import jax
+
+    l_saved = jax.tree_util.tree_leaves(trainer.state.opt_state)
+    l_resumed = jax.tree_util.tree_leaves(trainer2.state.opt_state)
+    assert any(
+        np.asarray(a).size > 1 and float(np.abs(np.asarray(a)).max()) > 0
+        for a in l_resumed
+    ), "resumed momentum buffers are all zero"
+    for a, b in zip(l_saved, l_resumed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
     # --resume true: auto-restores the latest checkpoint; with num_epoch
     # already reached, the train loop is a no-op (crash recovery semantics)
