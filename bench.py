@@ -112,7 +112,10 @@ def bench_train_step(batch=64):
 
     from tamgcn_tpu.models import create_ctrgcn_nucla
     from tamgcn_tpu.parallel.mesh import make_mesh
-    from tamgcn_tpu.parallel.sharded import init_sharded_state, make_train_step
+    from tamgcn_tpu.parallel.sharded import (
+        init_sharded_state,
+        make_packed_train_step,
+    )
     from tamgcn_tpu.train.optim import make_optimizer
 
     # auto dispatch: Pallas where it wins (C >= 128), XLA fusion elsewhere
@@ -124,21 +127,24 @@ def bench_train_step(batch=64):
     labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
     tx = make_optimizer("SGD", 0.1, steps_per_epoch=50, step=[50])
     state = init_sharded_state(model, tx, mesh, x, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    # packed state: the jitted step's I/O is a handful of buffers, not the
+    # ~2900-leaf state pytree (see tamgcn_tpu/train/packing.py)
+    packed_step, flat, _ = make_packed_train_step(model, tx, state)
+    step = jax.jit(packed_step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
-    def run(state):
-        new_state, loss, acc = step(state, x, labels, rng)
-        return new_state, loss
+    def run(flat):
+        new_flat, loss, acc = step(flat, x, labels, rng)
+        return new_flat, loss
 
     with mesh:
         # warmup/compile
-        s, loss = run(state)
+        flat, loss = run(flat)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         iters = 20
         for _ in range(iters):
-            s, loss = run(s)
+            flat, loss = run(flat)
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / iters
     log(f"train step: {dt*1e3:.2f} ms/step, {batch/dt:.1f} samples/s (batch {batch})")

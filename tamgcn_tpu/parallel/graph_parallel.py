@@ -26,7 +26,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8: jax.shard_map, replication checking renamed check_vma
+    from jax import shard_map as _shard_map
+
+    def shard_map(f=None, **kw):
+        kw["check_vma"] = kw.pop("check_rep", kw.pop("check_vma", True))
+        return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def _ring_body(s, carry, *, axis_name, k):

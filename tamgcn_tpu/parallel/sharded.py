@@ -104,6 +104,36 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
     return train_step
 
 
+def make_packed_train_step(model, tx: optax.GradientTransformation, state):
+    """`make_train_step` with fused state buffers AND a flat-space optimiser.
+
+    The TrainState pytree is ~1450 leaves; unpacked, the executable's I/O is
+    ~2900 buffers and the optimiser compiles to several HLO ops per leaf —
+    per-buffer/per-op runtime overhead dominates the step (train/packing.py).
+    Returns (step, pstate0, unravel_params); jit `step` with
+    donate_argnums=(0,). Packed state carries a single (replicated) sharding,
+    so it composes with data parallelism but not with per-param
+    tensor-parallel shardings — use `make_train_step` for TP.
+    """
+    from ..train.packing import make_fused_train_step
+
+    def loss_fn(params, batch_stats, data, label, dropout_rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = model.apply(
+            variables, data, train=True,
+            mutable=["batch_stats"], rngs={"dropout": dropout_rng},
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(out, label).mean()
+        return loss, (out, mutated.get("batch_stats", batch_stats))
+
+    step, pstate0, unravel_params, _ = make_fused_train_step(
+        loss_fn, tx, state.params, state.batch_stats
+    )
+    return step, pstate0, unravel_params
+
+
 def init_sharded_state(
     model,
     tx: optax.GradientTransformation,
