@@ -28,46 +28,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters=50, warmup=5):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def time_kernel_chained(kernel, *args, chain=50, iters=10, warmup=3):
-    """Per-call kernel time with `chain` serial applications in ONE dispatch.
-
-    Through the tunneled TPU a single dispatch costs ~0.5-1.5 ms — orders of
-    magnitude above these kernels — so per-dispatch timing measures the
-    tunnel, not the kernel. The op maps x3 -> out of identical shape, so the
-    chain feeds each output back as the next x3: a true serial dependency
-    that cross-iteration pipelining cannot hide.
+    """Per-call kernel time with `chain` serial applications in ONE dispatch,
+    synchronized by an actual value fetch (utils.timing rationale: through
+    the tunneled TPU, block_until_ready does not wait and a D2H fetch costs
+    ~30 ms, so the chain amortizes a single hard sync over chain*iters
+    applications). The op maps x3 -> out of identical shape, so the chain
+    feeds each output back as the next x3: a true serial dependency that
+    cross-iteration pipelining cannot hide.
     """
-    import jax
+    from tamgcn_tpu.utils.timing import time_chained
 
-    def run(x1, x2, x3, *rest):
-        def body(c, _):
-            return kernel(x1, x2, c, *rest), ()
+    def feedback(out, c_args):
+        return c_args[:2] + (out,) + c_args[3:]
 
-        c, _ = jax.lax.scan(body, x3, None, length=chain)
-        return c
-
-    g = jax.jit(run)
-    for _ in range(warmup):
-        out = g(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = g(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters / chain
+    return time_chained(
+        kernel, feedback, args, chain=chain, iters=iters, warmup=warmup
+    )
 
 
 def bench_kernel(n=64, t=52, v=20, c=64, r=8):
@@ -133,20 +110,10 @@ def bench_train_step(batch=64):
     step = jax.jit(packed_step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
-    def run(flat):
-        new_flat, loss, acc = step(flat, x, labels, rng)
-        return new_flat, loss
+    from tamgcn_tpu.utils.timing import time_step_chained
 
     with mesh:
-        # warmup/compile
-        flat, loss = run(flat)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        iters = 20
-        for _ in range(iters):
-            flat, loss = run(flat)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / iters
+        dt = time_step_chained(step, flat, (x, labels, rng), iters=30)
     log(f"train step: {dt*1e3:.2f} ms/step, {batch/dt:.1f} samples/s (batch {batch})")
     return batch / dt
 

@@ -27,7 +27,13 @@ from flax import linen as nn
 
 from ..graphs import get_graph
 from ..ops import ctr_gc_fused
-from ..ops.inits import fc_init, kaiming_normal_fan_out
+from ..ops.aggregation import unit_ctr_gc
+from ..ops.inits import (
+    fc_init,
+    kaiming_normal_fan_out,
+    kaiming_normal_fan_out_blocked,
+    kaiming_normal_fan_out_dense,
+)
 
 # torch BatchNorm defaults: momentum 0.1 (-> flax 0.9), eps 1e-5.
 BN = {"momentum": 0.9, "epsilon": 1e-5}
@@ -42,8 +48,17 @@ def _torch_linear_bias_init(fan_in: int):
     return init
 
 
+def _rel_channels(in_channels: int, rel_reduction: int = 8) -> int:
+    """Reference models/ctrgcn.py:155-158."""
+    return 8 if in_channels in (3, 9) else in_channels // rel_reduction
+
+
 class CTRGC(nn.Module):
-    """Channel-wise topology refinement unit (reference models/ctrgcn.py:150-177)."""
+    """Channel-wise topology refinement unit (reference models/ctrgcn.py:150-177).
+
+    Standalone single-subset form, kept as the oracle/teaching implementation;
+    UnitGCN runs all three subsets through the packed `unit_ctr_gc` op.
+    """
 
     in_channels: int
     out_channels: int
@@ -53,10 +68,7 @@ class CTRGC(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, A: jax.Array, alpha: jax.Array) -> jax.Array:
         # x: (N, T, V, Cin); A: (V, V); alpha: (1,)
-        if self.in_channels in (3, 9):
-            rel_channels = 8
-        else:
-            rel_channels = self.in_channels // self.rel_reduction
+        rel_channels = _rel_channels(self.in_channels, self.rel_reduction)
 
         def conv1x1(features: int, name: str) -> nn.Conv:
             return nn.Conv(
@@ -107,15 +119,40 @@ class UnitGCN(nn.Module):
             A = jnp.asarray(A0)
         alpha = self.param("alpha", nn.initializers.zeros, (1,))
 
-        y = None
-        for i in range(num_subset):
-            z = CTRGC(
-                self.in_channels,
-                self.out_channels,
-                use_pallas=self.use_pallas,
-                name=f"convs_{i}",
-            )(x, A[i], alpha)
-            y = z if y is None else y + z
+        # The three subset branches' 1x1 convs are PACKED: one conv with the
+        # per-subset kernels concatenated on the output axis (identical math,
+        # one MXU matmul instead of three narrow ones), and the refinement +
+        # aggregation of all subsets run as ONE fused op (ops.unit_ctr_gc).
+        R = _rel_channels(self.in_channels)
+        C = self.out_channels
+
+        def packed_conv(features: int, blocks: int, name: str) -> nn.Conv:
+            return nn.Conv(
+                features,
+                kernel_size=(1, 1),
+                kernel_init=kaiming_normal_fan_out_blocked(blocks),
+                bias_init=nn.initializers.zeros,
+                name=name,
+            )
+
+        e12 = packed_conv(2 * num_subset * R, 2 * num_subset, "conv12")(x)
+        e12 = e12.mean(axis=1)  # T-pooled (reference models/ctrgcn.py:173)
+        N, V = e12.shape[0], e12.shape[1]
+        x1s = e12[..., : num_subset * R].reshape(N, V, num_subset, R)
+        x1s = jnp.transpose(x1s, (0, 2, 1, 3))  # (N, S, V, R)
+        x2s = e12[..., num_subset * R:].reshape(N, V, num_subset, R)
+        x2s = jnp.transpose(x2s, (0, 2, 1, 3))
+        x3s = packed_conv(num_subset * C, num_subset, "conv3")(x)  # (N,T,V,S*C)
+        # per-slice fan_out=C (kaiming_normal_fan_out on the unpacked (R, C))
+        w4s = self.param(
+            "conv4_kernel", kaiming_normal_fan_out_dense, (num_subset, R, C)
+        )
+        b4s = self.param(
+            "conv4_bias", nn.initializers.zeros, (num_subset, C)
+        )
+        y = unit_ctr_gc(
+            x1s, x2s, x3s, w4s, b4s, alpha, A, use_pallas=self.use_pallas
+        )
         # bn_init(self.bn, 1e-6): near-zero scale at init (reference :240)
         y = nn.BatchNorm(
             use_running_average=not train,

@@ -74,6 +74,86 @@ def stgcn_aggregate(x: jax.Array, A: jax.Array) -> jax.Array:
     return jnp.einsum("ntvkc,kvw->ntwc", x, A, preferred_element_type=jnp.float32)
 
 
+def unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As):
+    """XLA fallback for the unit-level fused op: sum of the three per-subset
+    CTR-GC branches (reference models/ctrgcn.py:246-254).
+
+    x1s/x2s (N,S,V,R); x3s (N,T,V,S*C); w4s (S,R,C); b4s (S,C); As (S,V,V).
+    """
+    S = x1s.shape[1]
+    C = x3s.shape[-1] // S
+    out = None
+    for s in range(S):
+        y = ctr_gc_fused_xla(
+            x1s[:, s], x2s[:, s], x3s[..., s * C:(s + 1) * C],
+            w4s[s], b4s[s], alpha, As[s],
+        )
+        out = y if out is None else out + y
+    return out
+
+
+@jax.custom_vjp
+def _unit_ctr_gc_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
+    from .pallas.ctr_gc import unit_ctr_gc_fwd_pallas
+
+    return unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As)
+
+
+def _unit_fwd(x1s, x2s, x3s, w4s, b4s, alpha, As):
+    return _unit_ctr_gc_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As), (
+        x1s, x2s, x3s, w4s, b4s, alpha, As
+    )
+
+
+def _unit_bwd(res, g):
+    """dx3 and dm = sum_t g x3 via the fused backward kernel; the remaining
+    (small) parameter gradients from dm in XLA."""
+    from .pallas.ctr_gc import unit_ctr_gc_bwd_pallas
+
+    x1s, x2s, x3s, w4s, b4s, alpha, As = res
+    S = x1s.shape[1]
+    dx3s, dm = unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As)
+    # dm: (N, S, U, V, C); d: (N, S, U, V, R)
+    d = jnp.tanh(x1s[:, :, :, None, :] - x2s[:, :, None, :, :])
+    dAs = jnp.sum(dm, axis=(0, 4))  # (S, V, V)
+    dp = dm * alpha  # dL/dP where P = D @ w4 + b4
+    p = (
+        jnp.einsum("nsuvr,src->nsuvc", d, w4s, preferred_element_type=jnp.float32)
+        + b4s[None, :, None, None, :]
+    )
+    dalpha = jnp.reshape(jnp.sum(dm * p), jnp.shape(alpha))
+    db4s = jnp.sum(dp, axis=(0, 2, 3))  # (S, C)
+    dw4s = jnp.einsum("nsuvr,nsuvc->src", d, dp,
+                      preferred_element_type=jnp.float32)
+    dd = jnp.einsum("nsuvc,src->nsuvr", dp, w4s,
+                    preferred_element_type=jnp.float32)
+    dpre = dd * (1.0 - d * d)
+    dx1s = jnp.sum(dpre, axis=3)
+    dx2s = -jnp.sum(dpre, axis=2)
+    return dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs
+
+
+_unit_ctr_gc_pallas.defvjp(_unit_fwd, _unit_bwd)
+
+
+def unit_ctr_gc(
+    x1s, x2s, x3s, w4s, b4s, alpha, As, *, use_pallas: bool | None = None
+):
+    """Dispatch the unit-level (3-subset) fused CTR-GC op.
+
+    Pallas on TPU when the per-subset width keeps lane slices tile-aligned
+    (C >= 128); XLA fallback elsewhere (shallow layers, CPU tests). The
+    fallback differentiates via plain AD on the einsum formulation.
+    """
+    S = x1s.shape[1]
+    C = x3s.shape[-1] // S
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and C >= 128
+    if use_pallas:
+        return _unit_ctr_gc_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As)
+    return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
+
+
 def ctr_gc_fused(
     x1: jax.Array,
     x2: jax.Array,

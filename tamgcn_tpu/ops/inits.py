@@ -27,10 +27,32 @@ def kaiming_normal_fan_out(key, shape, dtype=jnp.float32):
     return std * jax.random.normal(key, shape, dtype)
 
 
+def kaiming_normal_fan_out_blocked(blocks: int):
+    """kaiming_normal_(mode='fan_out') for a PACKED conv kernel holding
+    `blocks` independent convs concatenated on the output axis.
+
+    The reference initialises each subset conv separately with
+    fan_out = (out_ch / blocks) * receptive (models/ctrgcn.py:26-30); packing
+    the three subset convs into one kernel must not change the per-slice
+    distribution, so the fan_out uses the per-block width.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        *kernel_dims, _, out_ch = shape
+        receptive = 1
+        for k in kernel_dims:
+            receptive *= k
+        std = math.sqrt(2.0 / ((out_ch // blocks) * receptive))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
 def kaiming_normal_fan_out_dense(key, shape, dtype=jnp.float32):
-    """kaiming_normal_(mode='fan_out') for a flax Dense kernel (in, out)."""
-    _, out_f = shape
-    std = math.sqrt(2.0 / out_f)
+    """kaiming_normal_(mode='fan_out') for an (..., in, out) kernel: fan_out
+    is the trailing output width; leading dims are independent blocks (e.g.
+    the stacked per-subset conv4 kernels (S, R, C))."""
+    std = math.sqrt(2.0 / shape[-1])
     return std * jax.random.normal(key, shape, dtype)
 
 

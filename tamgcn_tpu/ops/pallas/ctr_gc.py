@@ -180,3 +180,179 @@ def _bwd(res, g):
 
 
 ctr_gc_fused_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Unit-level fused op: the THREE adjacency-partition CTR-GC branches of one
+# unit_gcn (reference models/ctrgcn.py:246-254) in a single kernel.
+#
+# Fusing the subsets changes the op's economics on TPU:
+#   * x3 arrives as the packed conv3 output (N, T, V, S*C) — the layout the
+#     model naturally produces — so no relayout between conv and kernel;
+#   * the output is written ONCE (previously 3 kernel outputs + 2 adds);
+#   * one kernel launch per unit_gcn instead of three.
+# Measured (tunneled v5e, honest chained timing): 593 us vs 3 x 455-511 us
+# per-subset at (N=64, T=13, V=20, C=256) — ~2.3x.
+#
+# The backward kernel additionally fuses the dm = sum_t g*x3 contraction that
+# XLA otherwise runs as a layout-hostile einsum materialising (N, V, V, C)
+# per subset to HBM (the dominant cost of the unfused backward).
+# ---------------------------------------------------------------------------
+
+S_SUBSETS = 3
+
+
+def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
+                     out_ref, *, c: int):
+    """x1,x2 (BN,S,V,R); x3 (BN,T,V,S*C); w4 (S,R,C); b4 (S,1,C); A (S,V,V);
+    out (BN,T,V,C) = sum_s sum_v m_s[u,v,c] * x3_s[t,v,c]."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    ms = []
+    for s in range(S):
+        x1 = x1_ref[:, s]
+        x2 = x2_ref[:, s]
+        # m[u, v]: output joint u on an outer dim (stage 2 indexes it), input
+        # joint v on sublanes (aligned with x3's joint axis)
+        d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (BN, u, v, R)
+        m = jnp.dot(d.reshape(BN * V * V, R), w4_ref[s],
+                    preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        ms.append((m + b4_ref[s][None]) * alpha + A_ref[s][None, :, :, None])
+    x3 = x3_ref[:]
+    for u in range(V):
+        acc = None
+        for s in range(S):
+            x3_s = x3[:, :, :, s * c:(s + 1) * c]
+            term = jnp.sum(ms[s][:, u, :, :][:, None, :, :] * x3_s,
+                           axis=2, keepdims=True)
+            acc = term if acc is None else acc + term
+        out_ref[:, :, u:u + 1, :] = acc
+
+
+def _unit_bwd_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
+                     A_ref, dx3_ref, dm_ref, *, c: int):
+    """Fused backward data path.
+
+    dx3_s[t,v,c] = sum_u m_s[u,v,c] * g[t,u,c]   (aggregation is linear in x3)
+    dm_s[u,v,c]  = sum_t g[t,u,c] * x3_s[t,v,c]
+
+    in: x1,x2 (BN,S,V,R); g (BN,T,V,C); x3 (BN,T,V,S*C); w4 (S,R,C);
+        b4 (S,1,C); alpha SMEM; A (S,V,V)
+    out: dx3 (BN,T,V,S*C); dm (BN,S,V,V,C)  [dm[u,v] indexed (out, in)]
+    """
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    T = g_ref.shape[1]
+    g = g_ref[:]
+    for s in range(S):
+        x1 = x1_ref[:, s]
+        x2 = x2_ref[:, s]
+        # mT[v, u] = M[u, v]: stage-2 indexes input joint v on an outer dim
+        dT = jnp.tanh(x1[:, None, :, :] - x2[:, :, None, :])  # (BN, v, u, R)
+        mT = jnp.dot(dT.reshape(BN * V * V, R), w4_ref[s],
+                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        mT = (mT + b4_ref[s][None]) * alpha + A_ref[s].T[None, :, :, None]
+        for v in range(V):
+            acc = jnp.sum(mT[:, v, :, :][:, None, :, :] * g,
+                          axis=2, keepdims=True)
+            dx3_ref[:, :, v:v + 1, s * c:(s + 1) * c] = acc
+    # dm: contraction over t (an outer dim for both g and x3)
+    for s in range(S):
+        x3_s = x3_ref[:, :, :, s * c:(s + 1) * c]
+        for u in range(V):
+            acc = None
+            for t in range(T):
+                term = g[:, t, u:u + 1, :] * x3_s[:, t]
+                acc = term if acc is None else acc + term
+            dm_ref[:, s, u, :, :] = acc
+
+
+def _unit_block_n(n: int, t: int, v: int, c: int, s: int, bwd: bool) -> int:
+    """Samples per program targeting ~2.5 MB of padded VMEM blocks."""
+    vp = -(-v // 8) * 8
+    cp = -(-c // 128) * 128
+    per = (t * vp * s * cp + t * vp * cp + s * v * vp * cp) * 4
+    if bwd:
+        per += (t * vp * s * cp + s * v * vp * cp) * 4
+    target = max(1, (5 << 20) // max(per, 1))
+    bn = 1
+    while bn * 2 <= min(target, n) and n % (bn * 2) == 0:
+        bn *= 2
+    return bn
+
+
+def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
+    """Forward kernel call. x1s/x2s (N,S,V,R); x3s (N,T,V,S*C); w4s (S,R,C);
+    b4s (S,C); alpha (1,); As (S,V,V) -> out (N,T,V,C)."""
+    N, S, V, R = x1s.shape
+    T = x3s.shape[1]
+    C = x3s.shape[-1] // S
+    bn = _unit_block_n(N, T, V, C, S, bwd=False)
+    alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    return pl.pallas_call(
+        functools.partial(_unit_fwd_kernel, c=C),
+        grid=(N // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, T, V, S * C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, V, V), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, T, V, C), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, T, V, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * S * (V * V * R * C + T * V * V * C),
+            bytes_accessed=4 * N * (T * V * (S + 1) * C + 2 * S * V * R),
+            transcendentals=N * S * V * V * R,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x1s, x2s, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, As)
+
+
+def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
+    """Backward kernel call -> (dx3s (N,T,V,S*C), dm (N,S,V,V,C))."""
+    N, S, V, R = x1s.shape
+    T = x3s.shape[1]
+    C = x3s.shape[-1] // S
+    bn = _unit_block_n(N, T, V, C, S, bwd=True)
+    alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    return pl.pallas_call(
+        functools.partial(_unit_bwd_kernel, c=C),
+        grid=(N // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, T, V, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, T, V, S * C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, V, V), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, T, V, S * C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, V, C), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T, V, S * C), jnp.float32),
+            jax.ShapeDtypeStruct((N, S, V, V, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * S * (T * V * V * C) + 2 * N * S * V * V * R * C,
+            bytes_accessed=4 * N * (2 * T * V * (S + 1) * C + S * V * V * C),
+            transcendentals=N * S * V * V * R,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x1s, x2s, g, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, As)

@@ -76,19 +76,37 @@ class _TreeBuilder:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def _import_ctrgc(b: _TreeBuilder, sd: Mapping, t: str, f: str):
-    """CTRGC unit: conv1..conv4 (reference models/ctrgcn.py:161-164)."""
-    b.conv(sd, f"{t}.conv1", f"{f}/conv1")
-    b.conv(sd, f"{t}.conv2", f"{f}/conv2")
-    b.conv(sd, f"{t}.conv3", f"{f}/conv3")
-    # conv4 is stored as raw (1,1,R,C) kernel + bias for the fused op
-    b.raw(sd, f"{t}.conv4.weight", f"{f}/conv4_kernel", _conv_w)
-    b.raw(sd, f"{t}.conv4.bias", f"{f}/conv4_bias")
-
-
 def _import_unit_gcn(b: _TreeBuilder, sd: Mapping, t: str, f: str, in_ch, out_ch):
-    for i in range(3):
-        _import_ctrgc(b, sd, f"{t}.convs.{i}", f"{f}/convs_{i}")
+    """unit_gcn: the three subsets' CTRGC convs (reference
+    models/ctrgcn.py:161-164, :204-207) pack into this framework's fused
+    layout — conv12 = [conv1_s0..2 | conv2_s0..2] concatenated on output
+    channels, conv3 = [conv3_s0..2], conv4 stacked (S, R, C)."""
+    S = 3
+    k1 = [_conv_w(sd[f"{t}.convs.{i}.conv1.weight"]) for i in range(S)]
+    k2 = [_conv_w(sd[f"{t}.convs.{i}.conv2.weight"]) for i in range(S)]
+    b._set(b.params, f"{f}/conv12/kernel", np.concatenate(k1 + k2, axis=-1))
+    b._set(
+        b.params,
+        f"{f}/conv12/bias",
+        np.concatenate(
+            [sd[f"{t}.convs.{i}.conv1.bias"] for i in range(S)]
+            + [sd[f"{t}.convs.{i}.conv2.bias"] for i in range(S)]
+        ),
+    )
+    k3 = [_conv_w(sd[f"{t}.convs.{i}.conv3.weight"]) for i in range(S)]
+    b._set(b.params, f"{f}/conv3/kernel", np.concatenate(k3, axis=-1))
+    b._set(
+        b.params,
+        f"{f}/conv3/bias",
+        np.concatenate([sd[f"{t}.convs.{i}.conv3.bias"] for i in range(S)]),
+    )
+    k4 = [_conv_w(sd[f"{t}.convs.{i}.conv4.weight"])[0, 0] for i in range(S)]
+    b._set(b.params, f"{f}/conv4_kernel", np.stack(k4))
+    b._set(
+        b.params,
+        f"{f}/conv4_bias",
+        np.stack([sd[f"{t}.convs.{i}.conv4.bias"] for i in range(S)]),
+    )
     b.raw(sd, f"{t}.PA", f"{f}/PA")
     b.raw(sd, f"{t}.alpha", f"{f}/alpha")
     b.bn(sd, f"{t}.bn", f"{f}/bn")

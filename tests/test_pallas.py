@@ -87,3 +87,66 @@ def test_model_with_pallas_matches_xla_path():
     out_x = np.asarray(m_x.apply(v, x, train=False))
     out_p = np.asarray(m_p.apply(v, x, train=False))
     np.testing.assert_allclose(out_p, out_x, rtol=2e-4, atol=2e-4)
+
+
+# --- unit-level (3-subset) fused op -----------------------------------------
+
+from tamgcn_tpu.ops.aggregation import (  # noqa: E402
+    _unit_ctr_gc_pallas,
+    unit_ctr_gc,
+    unit_ctr_gc_xla,
+)
+
+
+def _make_unit_inputs(n=2, t=13, v=20, c=128, r=16, s=3, seed=0):
+    rs = np.random.RandomState(seed)
+    x1s = jnp.asarray(rs.randn(n, s, v, r), jnp.float32)
+    x2s = jnp.asarray(rs.randn(n, s, v, r), jnp.float32)
+    x3s = jnp.asarray(rs.randn(n, t, v, s * c), jnp.float32)
+    w4s = jnp.asarray(rs.randn(s, r, c) * 0.1, jnp.float32)
+    b4s = jnp.asarray(rs.randn(s, c) * 0.1, jnp.float32)
+    alpha = jnp.asarray([0.7], jnp.float32)
+    As = jnp.asarray(rs.rand(s, v, v), jnp.float32)
+    return x1s, x2s, x3s, w4s, b4s, alpha, As
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(n=2, t=13, v=20, c=256, r=32),  # NW-UCLA deep layers
+        dict(n=2, t=26, v=20, c=128, r=16),  # mid layers
+        dict(n=1, t=8, v=25, c=128, r=16),   # NTU joints
+    ],
+)
+def test_unit_fwd_matches_xla(shape):
+    args = _make_unit_inputs(**shape)
+    got = np.asarray(_unit_ctr_gc_pallas(*args))
+    want = np.asarray(unit_ctr_gc_xla(*args))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_unit_vjp_matches_xla():
+    args = _make_unit_inputs(n=2, t=13, v=20, c=128, r=16)
+
+    def f_pallas(*a):
+        return jnp.sum(jnp.sin(_unit_ctr_gc_pallas(*a)))
+
+    def f_xla(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc_xla(*a)))
+
+    gp = jax.grad(f_pallas, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(f_xla, argnums=tuple(range(7)))(*args)
+    names = ["x1s", "x2s", "x3s", "w4s", "b4s", "alpha", "As"]
+    for name, a, b in zip(names, gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_unit_dispatch_fallback_on_cpu():
+    # on CPU (tests force JAX_PLATFORMS=cpu) auto-dispatch takes the XLA path
+    args = _make_unit_inputs(n=1, t=4, v=20, c=64, r=8)
+    got = np.asarray(unit_ctr_gc(*args))
+    want = np.asarray(unit_ctr_gc_xla(*args))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
