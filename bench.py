@@ -28,56 +28,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_kernel_chained(kernel, *args, chain=50, iters=10, warmup=3):
-    """Per-call kernel time with `chain` serial applications in ONE dispatch,
-    synchronized by an actual value fetch (utils.timing rationale: through
-    the tunneled TPU, block_until_ready does not wait and a D2H fetch costs
-    ~30 ms, so the chain amortizes a single hard sync over chain*iters
-    applications). The op maps x3 -> out of identical shape, so the chain
-    feeds each output back as the next x3: a true serial dependency that
-    cross-iteration pipelining cannot hide.
-    """
-    from tamgcn_tpu.utils.timing import time_chained
-
-    def feedback(out, c_args):
-        return c_args[:2] + (out,) + c_args[3:]
-
-    return time_chained(
-        kernel, feedback, args, chain=chain, iters=iters, warmup=warmup
-    )
-
-
-def bench_kernel(n=64, t=52, v=20, c=64, r=8):
+def bench_kernel(n=64, t=52, v=20, c=64, r=8, s=3):
+    """Unit-level (3-subset) fused CTR-GC: Pallas kernel vs the XLA einsum
+    lowering of the identical op (the reference's own formulation)."""
     import jax
     import jax.numpy as jnp
 
-    from tamgcn_tpu.ops.aggregation import ctr_gc_fused_xla
-    from tamgcn_tpu.ops.pallas.ctr_gc import ctr_gc_fused_pallas
+    from tamgcn_tpu.ops.aggregation import _unit_ctr_gc_pallas, unit_ctr_gc_xla
 
     rs = np.random.RandomState(0)
     # contraction-stable scales: the chained timing feeds out -> x3, so the
-    # effective adjacency must not blow values up over 50 applications
+    # effective adjacency must not blow values up over the chain
     args = (
-        jnp.asarray(rs.randn(n, v, r), jnp.float32),
-        jnp.asarray(rs.randn(n, v, r), jnp.float32),
-        jnp.asarray(rs.randn(n, t, v, c), jnp.float32),
-        jnp.asarray(rs.randn(r, c) * 0.1, jnp.float32),
-        jnp.asarray(rs.randn(c) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(n, s, v, r), jnp.float32),
+        jnp.asarray(rs.randn(n, s, v, r), jnp.float32),
+        jnp.asarray(rs.randn(n, t, v, s * c), jnp.float32),
+        jnp.asarray(rs.randn(s, r, c) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(s, c) * 0.1, jnp.float32),
         jnp.asarray([0.1], jnp.float32),
-        jnp.asarray(rs.rand(v, v) * 0.05, jnp.float32),
+        jnp.asarray(rs.rand(s, v, v) * 0.02, jnp.float32),
     )
-    f_pallas = jax.jit(ctr_gc_fused_pallas)
-    f_xla = jax.jit(ctr_gc_fused_xla)
+    f_pallas = jax.jit(_unit_ctr_gc_pallas)
+    f_xla = jax.jit(unit_ctr_gc_xla)
     # numerics guard on-chip: XLA's einsum path uses default (bf16-input)
     # matmul precision on TPU, so allow bf16-level deviation here — exact
     # fp32 parity is gated in tests/test_pallas.py
     np.testing.assert_allclose(
         np.asarray(f_pallas(*args)), np.asarray(f_xla(*args)), rtol=5e-2, atol=1e-1
     )
-    dt_pallas = time_kernel_chained(ctr_gc_fused_pallas, *args)
-    dt_xla = time_kernel_chained(ctr_gc_fused_xla, *args)
-    edges = n * t * v * v
-    log(f"kernel shapes N={n} T={t} V={v} C={c} R={r}")
+
+    def feed_pallas(out, a):
+        return a[:2] + (jnp.concatenate([out] * s, -1),) + a[3:]
+
+    from tamgcn_tpu.utils.timing import time_chained
+
+    dt_pallas = time_chained(_unit_ctr_gc_pallas, feed_pallas, args, chain=30, iters=5)
+    dt_xla = time_chained(unit_ctr_gc_xla, feed_pallas, args, chain=30, iters=5)
+    edges = n * t * v * v * s
+    log(f"unit kernel shapes N={n} T={t} V={v} C={c} R={r} S={s}")
     log(f"  pallas: {dt_pallas*1e6:9.1f} us  {edges/dt_pallas/1e9:8.2f} Gedges/s")
     log(f"  xla:    {dt_xla*1e6:9.1f} us  {edges/dt_xla/1e9:8.2f} Gedges/s")
     return edges / dt_pallas, dt_xla / dt_pallas
@@ -129,7 +117,7 @@ def main():
     # headline shape: the deep-layer CTR-GC (C=256), where the XLA path's
     # (N, V, V, C) intermediate is 4x the activation traffic
     edges_per_s, speedup = bench_kernel(n=64, t=13, v=20, c=256, r=32)
-    bench_kernel(n=64, t=52, v=20, c=64, r=8)  # shallow layer, context
+    bench_kernel(n=64, t=26, v=20, c=128, r=16)  # mid layer, context
     try:
         samples_per_s = bench_train_step()
         log(f"train throughput: {samples_per_s:.1f} samples/s")

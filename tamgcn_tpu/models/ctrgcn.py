@@ -257,63 +257,74 @@ class MultiScaleTCN(nn.Module):
             assert len(kernel_size) == len(self.dilations)
         else:
             kernel_size = [kernel_size] * len(self.dilations)
+        n_dil = len(self.dilations)
 
-        def conv1x1(features, name, strides=(1, 1)):
-            return nn.Conv(
-                features,
-                (1, 1),
-                strides=strides,
-                kernel_init=kaiming_normal_fan_out,
-                bias_init=nn.initializers.zeros,
-                name=name,
-            )
-
-        def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train,
-                scale_init=_bn_weights_init,
-                **BN,
-                name=name,
-            )
+        # TPU restructure (identical math to the reference branch list,
+        # models/ctrgcn.py:93-124): the dilated + maxpool branches' entry
+        # 1x1+BN+ReLU run PACKED as one conv over (n_dil+1)*branch_channels —
+        # per-branch BN == packed BN because BN is per-channel — and all four
+        # branches' OUTPUT BNs run as one BN over the concatenated channels.
+        # Narrow per-branch convs (C/4 wide) waste the 128-lane axis; packing
+        # cuts the block's conv+BN dispatch count from ~14 to ~6.
+        prefix = nn.Conv(
+            (n_dil + 1) * branch_channels,
+            (1, 1),
+            kernel_init=kaiming_normal_fan_out_blocked(n_dil + 1),
+            bias_init=nn.initializers.zeros,
+            name="prefix_conv",
+        )(x)
+        prefix = nn.BatchNorm(
+            use_running_average=not train,
+            scale_init=_bn_weights_init,
+            **BN,
+            name="prefix_bn",
+        )(prefix)
+        prefix = nn.relu(prefix)
 
         outs = []
         for i, (ks, dilation) in enumerate(zip(kernel_size, self.dilations)):
-            b = conv1x1(branch_channels, f"branch{i}_conv")(x)
-            b = bn(f"branch{i}_bn")(b)
-            b = nn.relu(b)
-            b = TemporalConv(
+            b = prefix[..., i * branch_channels:(i + 1) * branch_channels]
+            pad = (ks + (ks - 1) * (dilation - 1) - 1) // 2
+            b = nn.Conv(
                 branch_channels,
-                ks,
-                stride=self.stride,
-                dilation=dilation,
-                bn_scale_init=_bn_weights_init,
-                name=f"branch{i}_tconv",
-            )(b, train=train)
+                (ks, 1),
+                strides=(self.stride, 1),
+                kernel_dilation=(dilation, 1),
+                padding=[(pad, pad), (0, 0)],
+                kernel_init=kaiming_normal_fan_out,
+                bias_init=nn.initializers.zeros,
+                name=f"branch{i}_tconv_conv",
+            )(b)
             outs.append(b)
 
-        # 1x1 -> BN -> ReLU -> MaxPool(3,1) -> BN branch (reference :113-119)
-        i_mp = len(self.dilations)
-        b = conv1x1(branch_channels, f"branch{i_mp}_conv")(x)
-        b = bn(f"branch{i_mp}_bn")(b)
-        b = nn.relu(b)
+        # maxpool branch (reference :113-119)
+        b = prefix[..., n_dil * branch_channels:]
         b = nn.max_pool(
             b,
             window_shape=(3, 1),
             strides=(self.stride, 1),
             padding=[(1, 1), (0, 0)],
         )
-        b = bn(f"branch{i_mp}_bn2")(b)
         outs.append(b)
 
-        # plain strided 1x1 -> BN branch (reference :121-124)
-        i_pw = i_mp + 1
-        b = conv1x1(
-            branch_channels, f"branch{i_pw}_conv", strides=(self.stride, 1)
+        # plain strided 1x1 branch (reference :121-124)
+        b = nn.Conv(
+            branch_channels,
+            (1, 1),
+            strides=(self.stride, 1),
+            kernel_init=kaiming_normal_fan_out,
+            bias_init=nn.initializers.zeros,
+            name="pw_conv",
         )(x)
-        b = bn(f"branch{i_pw}_bn")(b)
         outs.append(b)
 
         out = jnp.concatenate(outs, axis=-1)
+        out = nn.BatchNorm(
+            use_running_average=not train,
+            scale_init=_bn_weights_init,
+            **BN,
+            name="out_bn",
+        )(out)
 
         if not self.residual:
             res = 0.0

@@ -136,22 +136,56 @@ def _unit_bwd(res, g):
 _unit_ctr_gc_pallas.defvjp(_unit_fwd, _unit_bwd)
 
 
+def _tfold(C: int, T: int) -> int:
+    """Time-pair fold factor for narrow channels: lanes must carry >= 128
+    real values, so C=64 layers fold pairs of frames into the lane axis
+    (C=32 would fold quadruples). 1 = no fold needed/possible."""
+    if C >= 128 or 128 % C != 0:
+        return 1
+    tf = 128 // C
+    return tf if T % tf == 0 else 1
+
+
 def unit_ctr_gc(
     x1s, x2s, x3s, w4s, b4s, alpha, As, *, use_pallas: bool | None = None
 ):
     """Dispatch the unit-level (3-subset) fused CTR-GC op.
 
-    Pallas on TPU when the per-subset width keeps lane slices tile-aligned
-    (C >= 128); XLA fallback elsewhere (shallow layers, CPU tests). The
-    fallback differentiates via plain AD on the einsum formulation.
+    Pallas on TPU; narrow-channel layers (C < 128) are handled by folding
+    `tf = 128 // C` consecutive frames into the lane axis so every lane
+    carries a real value (the aggregation is elementwise in t, so folded
+    frames just ride along; the per-subset weights are lane-duplicated tf
+    times OUTSIDE the kernel — no sub-tile lane ops anywhere). The fold/
+    unfold are differentiable XLA reshapes, so AD flows through them into
+    the op's custom VJP. XLA fallback elsewhere (CPU tests, odd widths).
     """
     S = x1s.shape[1]
+    T = x3s.shape[1]
     C = x3s.shape[-1] // S
+    tf = _tfold(C, T)
+    # Auto-dispatch stays on the XLA path below C=128: the folded kernel is
+    # correct but measured slightly SLOWER in-model than XLA at C=64 (the
+    # fold/unfold relayouts outweigh the kernel's lane-utilisation win:
+    # 69.4 vs 65.1 ms/step at batch 64). Explicit use_pallas=True still
+    # takes the folded path.
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and C >= 128
-    if use_pallas:
+    if not use_pallas:
+        return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
+    if C >= 128 or tf == 1:
         return _unit_ctr_gc_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As)
-    return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
+    N, _, V, _ = x1s.shape
+    # fold: (N,T,V,S,C) -> (N, T/tf, V, S, tf, C) -> lanes [s | parity | c]
+    xf = x3s.reshape(N, T // tf, tf, V, S, C)
+    xf = jnp.transpose(xf, (0, 1, 3, 4, 2, 5)).reshape(
+        N, T // tf, V, S * tf * C
+    )
+    w4f = jnp.concatenate([w4s] * tf, axis=-1)  # (S, R, tf*C)
+    b4f = jnp.concatenate([b4s] * tf, axis=-1)  # (S, tf*C)
+    out = _unit_ctr_gc_pallas(x1s, x2s, xf, w4f, b4f, alpha, As)
+    # unfold: (N, T/tf, V, tf*C) -> (N, T, V, C)
+    out = out.reshape(N, T // tf, V, tf, C)
+    return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(N, T, V, C)
 
 
 def ctr_gc_fused(

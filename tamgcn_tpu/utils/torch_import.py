@@ -119,18 +119,35 @@ def _import_unit_gcn(b: _TreeBuilder, sd: Mapping, t: str, f: str, in_ch, out_ch
 
 def _import_mstcn(b: _TreeBuilder, sd: Mapping, t: str, f: str, n_dil=2,
                   residual_conv=False):
-    """MultiScale_TemporalConv branches (reference models/ctrgcn.py:93-124)."""
-    for i in range(n_dil):
-        b.conv(sd, f"{t}.branches.{i}.0", f"{f}/branch{i}_conv")
-        b.bn(sd, f"{t}.branches.{i}.1", f"{f}/branch{i}_bn")
-        b.conv(sd, f"{t}.branches.{i}.3.conv", f"{f}/branch{i}_tconv/conv")
-        b.bn(sd, f"{t}.branches.{i}.3.bn", f"{f}/branch{i}_tconv/bn")
+    """MultiScale_TemporalConv branches (reference models/ctrgcn.py:93-124)
+    packed into this framework's layout: the dilated + maxpool branches'
+    entry 1x1+BN concatenate into prefix_conv/prefix_bn, and all branches'
+    output BNs concatenate into out_bn (order [dilated..., maxpool, 1x1],
+    matching the concat in models/ctrgcn.py MultiScaleTCN)."""
     i_mp, i_pw = n_dil, n_dil + 1
-    b.conv(sd, f"{t}.branches.{i_mp}.0", f"{f}/branch{i_mp}_conv")
-    b.bn(sd, f"{t}.branches.{i_mp}.1", f"{f}/branch{i_mp}_bn")
-    b.bn(sd, f"{t}.branches.{i_mp}.4", f"{f}/branch{i_mp}_bn2")
-    b.conv(sd, f"{t}.branches.{i_pw}.0", f"{f}/branch{i_pw}_conv")
-    b.bn(sd, f"{t}.branches.{i_pw}.1", f"{f}/branch{i_pw}_bn")
+    entry = list(range(n_dil)) + [i_mp]
+    b._set(b.params, f"{f}/prefix_conv/kernel", np.concatenate(
+        [_conv_w(sd[f"{t}.branches.{i}.0.weight"]) for i in entry], axis=-1))
+    b._set(b.params, f"{f}/prefix_conv/bias", np.concatenate(
+        [sd[f"{t}.branches.{i}.0.bias"] for i in entry]))
+    for part, fpath in (("weight", "scale"), ("bias", "bias")):
+        b._set(b.params, f"{f}/prefix_bn/{fpath}", np.concatenate(
+            [sd[f"{t}.branches.{i}.1.{part}"] for i in entry]))
+    for part, fpath in (("running_mean", "mean"), ("running_var", "var")):
+        b._set(b.batch_stats, f"{f}/prefix_bn/{fpath}", np.concatenate(
+            [sd[f"{t}.branches.{i}.1.{part}"] for i in entry]))
+    for i in range(n_dil):
+        b.conv(sd, f"{t}.branches.{i}.3.conv", f"{f}/branch{i}_tconv_conv")
+    b.conv(sd, f"{t}.branches.{i_pw}.0", f"{f}/pw_conv")
+    # output BNs: dilated branches' tconv.bn, maxpool's trailing bn, 1x1's bn
+    out_bns = [f"{t}.branches.{i}.3.bn" for i in range(n_dil)]
+    out_bns += [f"{t}.branches.{i_mp}.4", f"{t}.branches.{i_pw}.1"]
+    for part, fpath in (("weight", "scale"), ("bias", "bias")):
+        b._set(b.params, f"{f}/out_bn/{fpath}", np.concatenate(
+            [sd[f"{bn}.{part}"] for bn in out_bns]))
+    for part, fpath in (("running_mean", "mean"), ("running_var", "var")):
+        b._set(b.batch_stats, f"{f}/out_bn/{fpath}", np.concatenate(
+            [sd[f"{bn}.{part}"] for bn in out_bns]))
     if residual_conv:
         b.conv(sd, f"{t}.residual.conv", f"{f}/residual/conv")
         b.bn(sd, f"{t}.residual.bn", f"{f}/residual/bn")
