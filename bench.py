@@ -71,7 +71,7 @@ def bench_kernel(n=64, t=52, v=20, c=64, r=8, s=3):
     return edges / dt_pallas, dt_xla / dt_pallas
 
 
-def bench_train_step(batch=64):
+def bench_train_step(batch=64, dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -84,7 +84,7 @@ def bench_train_step(batch=64):
     from tamgcn_tpu.train.optim import make_optimizer
 
     # auto dispatch: Pallas where it wins (C >= 128), XLA fusion elsewhere
-    model = create_ctrgcn_nucla(use_pallas=None)
+    model = create_ctrgcn_nucla(use_pallas=None, dtype=dtype)
     mesh = make_mesh()
     x = jnp.asarray(
         np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
@@ -102,7 +102,9 @@ def bench_train_step(batch=64):
 
     with mesh:
         dt = time_step_chained(step, flat, (x, labels, rng), iters=30)
-    log(f"train step: {dt*1e3:.2f} ms/step, {batch/dt:.1f} samples/s (batch {batch})")
+    tag = f"dtype={jnp.dtype(dtype).name}" if dtype is not None else "f32"
+    log(f"train step ({tag}): {dt*1e3:.2f} ms/step, "
+        f"{batch/dt:.1f} samples/s (batch {batch})")
     return batch / dt
 
 
@@ -121,6 +123,10 @@ def main():
     try:
         samples_per_s = bench_train_step()
         log(f"train throughput: {samples_per_s:.1f} samples/s")
+        import jax.numpy as jnp
+
+        bf16 = bench_train_step(dtype=jnp.bfloat16)
+        log(f"train throughput (bf16 mixed precision): {bf16:.1f} samples/s")
     except Exception as e:  # keep the primary metric even if train bench dies
         log(f"train bench failed: {e}")
     print(

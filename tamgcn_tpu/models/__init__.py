@@ -14,6 +14,11 @@ _REGISTRY = {
 def get_model(name: str, **model_args):
     """Instantiate a registered model by name (replacement for the reference's
     dotted-path import_class, torchlight/torchlight/io.py:51-55)."""
+    if isinstance(model_args.get("dtype"), str):
+        # YAML configs name the compute dtype as a string ("bfloat16")
+        import jax.numpy as jnp
+
+        model_args["dtype"] = jnp.dtype(model_args["dtype"])
     # imported lazily to avoid pulling the RGB path in skeleton-only runs
     if name in ("resnet_only", "models.resnet_only.Model"):
         from .resnet_only import ResNetOnly

@@ -64,6 +64,7 @@ class CTRGC(nn.Module):
     out_channels: int
     rel_reduction: int = 8
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, A: jax.Array, alpha: jax.Array) -> jax.Array:
@@ -76,6 +77,7 @@ class CTRGC(nn.Module):
                 kernel_size=(1, 1),
                 kernel_init=kaiming_normal_fan_out,
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -108,6 +110,7 @@ class UnitGCN(nn.Module):
     adaptive: bool = True
     residual: bool = True
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -132,6 +135,7 @@ class UnitGCN(nn.Module):
                 kernel_size=(1, 1),
                 kernel_init=kaiming_normal_fan_out_blocked(blocks),
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -157,6 +161,7 @@ class UnitGCN(nn.Module):
         y = nn.BatchNorm(
             use_running_average=not train,
             scale_init=nn.initializers.constant(1e-6),
+            dtype=self.dtype,
             **BN,
             name="bn",
         )(y)
@@ -168,10 +173,12 @@ class UnitGCN(nn.Module):
                     (1, 1),
                     kernel_init=kaiming_normal_fan_out,
                     bias_init=nn.initializers.zeros,
+                    dtype=self.dtype,
                     name="down_conv",
                 )(x)
                 res = nn.BatchNorm(
-                    use_running_average=not train, **BN, name="down_bn"
+                    use_running_average=not train, dtype=self.dtype, **BN,
+                    name="down_bn",
                 )(res)
             else:
                 res = x
@@ -185,10 +192,12 @@ class UnitGCN(nn.Module):
             (1, 1),
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="offset_conv",
         )(diff)
         offset = nn.BatchNorm(
-            use_running_average=not train, **BN, name="offset_bn"
+            use_running_average=not train, dtype=self.dtype, **BN,
+            name="offset_bn",
         )(offset)
         offset = jnp.tanh(offset)
 
@@ -203,6 +212,7 @@ class TemporalConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     bn_scale_init: Any = nn.initializers.ones
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -215,11 +225,13 @@ class TemporalConv(nn.Module):
             padding=[(pad, pad), (0, 0)],
             kernel_init=kaiming_normal_fan_out,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return nn.BatchNorm(
             use_running_average=not train,
             scale_init=self.bn_scale_init,
+            dtype=self.dtype,
             **BN,
             name="bn",
         )(x)
@@ -244,6 +256,7 @@ class MultiScaleTCN(nn.Module):
     dilations: Sequence[int] = (1, 2, 3, 4)
     residual: bool = True
     residual_kernel_size: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -271,11 +284,13 @@ class MultiScaleTCN(nn.Module):
             (1, 1),
             kernel_init=kaiming_normal_fan_out_blocked(n_dil + 1),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="prefix_conv",
         )(x)
         prefix = nn.BatchNorm(
             use_running_average=not train,
             scale_init=_bn_weights_init,
+            dtype=self.dtype,
             **BN,
             name="prefix_bn",
         )(prefix)
@@ -293,6 +308,7 @@ class MultiScaleTCN(nn.Module):
                 padding=[(pad, pad), (0, 0)],
                 kernel_init=kaiming_normal_fan_out,
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name=f"branch{i}_tconv_conv",
             )(b)
             outs.append(b)
@@ -314,6 +330,7 @@ class MultiScaleTCN(nn.Module):
             strides=(self.stride, 1),
             kernel_init=kaiming_normal_fan_out,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="pw_conv",
         )(x)
         outs.append(b)
@@ -322,6 +339,7 @@ class MultiScaleTCN(nn.Module):
         out = nn.BatchNorm(
             use_running_average=not train,
             scale_init=_bn_weights_init,
+            dtype=self.dtype,
             **BN,
             name="out_bn",
         )(out)
@@ -336,6 +354,7 @@ class MultiScaleTCN(nn.Module):
                 self.residual_kernel_size,
                 stride=self.stride,
                 bn_scale_init=_bn_weights_init,
+                dtype=self.dtype,
                 name="residual",
             )(x, train=train)
         return out + res
@@ -347,6 +366,7 @@ class UnitTCN(nn.Module):
     out_channels: int
     kernel_size: int = 9
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -358,9 +378,12 @@ class UnitTCN(nn.Module):
             padding=[(pad, pad), (0, 0)],
             kernel_init=kaiming_normal_fan_out,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.BatchNorm(use_running_average=not train, **BN, name="bn")(x)
+        return nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, **BN, name="bn"
+        )(x)
 
 
 class TCNGCNUnit(nn.Module):
@@ -379,6 +402,7 @@ class TCNGCNUnit(nn.Module):
     kernel_size: int = 5
     dilations: Sequence[int] = (1, 2)
     use_pallas: bool | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -388,6 +412,7 @@ class TCNGCNUnit(nn.Module):
             self.A,
             adaptive=self.adaptive,
             use_pallas=self.use_pallas,
+            dtype=self.dtype,
             name="gcn1",
         )(x, train=train)
         y = MultiScaleTCN(
@@ -397,6 +422,7 @@ class TCNGCNUnit(nn.Module):
             stride=self.stride,
             dilations=self.dilations,
             residual=False,
+            dtype=self.dtype,
             name="tcn1",
         )(y, train=train)
         if not self.residual:
@@ -405,7 +431,8 @@ class TCNGCNUnit(nn.Module):
             res = x
         else:
             res = UnitTCN(
-                self.out_channels, kernel_size=1, stride=self.stride, name="residual"
+                self.out_channels, kernel_size=1, stride=self.stride,
+                dtype=self.dtype, name="residual",
             )(x, train=train)
         return nn.relu(y + res)
 
@@ -429,6 +456,7 @@ class CTRGCN(nn.Module):
     adaptive: bool = True
     base_channel: int = 64
     use_pallas: bool | None = None
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     def setup(self):
         if self.graph is None:
@@ -450,6 +478,7 @@ class CTRGCN(nn.Module):
                 residual=residual,
                 adaptive=self.adaptive,
                 use_pallas=self.use_pallas,
+                dtype=self.dtype,
             )
 
         self.l1 = block(self.in_channels, bc, residual=False)
@@ -463,11 +492,12 @@ class CTRGCN(nn.Module):
         self.l9 = block(bc * 4, bc * 4)
         self.l10 = block(bc * 4, bc * 4)
 
-        self.data_bn = nn.BatchNorm(**BN)
+        self.data_bn = nn.BatchNorm(dtype=self.dtype, **BN)
         self.fc = nn.Dense(
             self.num_class,
             kernel_init=fc_init(self.num_class),
             bias_init=_torch_linear_bias_init(bc * 4),
+            dtype=self.dtype,
         )
         self.dropout = nn.Dropout(self.drop_out) if self.drop_out else None
 
@@ -481,6 +511,8 @@ class CTRGCN(nn.Module):
 
     def _stem(self, x: jax.Array, train: bool):
         """data BN over flattened (M,V,C) features (reference :302, :330-332)."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         N, C, T, V, M = x.shape
         h = jnp.transpose(x, (0, 2, 4, 3, 1)).reshape(N, T, M * V * C)
         h = self.data_bn(h, use_running_average=not train)
@@ -502,7 +534,8 @@ class CTRGCN(nn.Module):
         h = h.reshape(N, M, -1, c_new).mean(axis=2).mean(axis=1)  # (N, C)
         if self.dropout is not None:
             h = self.dropout(h, deterministic=not train)
-        return self.fc(h)
+        # logits in f32: the loss/softmax should not run in bf16
+        return self.fc(h).astype(jnp.float32)
 
     def extract_feature(self, x: jax.Array, *, train: bool = False):
         """Pre-pool features (N, C', T', V, M) — reference models/ctrgcn.py:350-374.

@@ -43,7 +43,7 @@ def _torch_linear_bias_init(fan_in: int):
     return init
 
 
-def _conv(features, kernel, stride=1, dilation=1, name=None):
+def _conv(features, kernel, stride=1, dilation=1, dtype=None, name=None):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -53,6 +53,7 @@ def _conv(features, kernel, stride=1, dilation=1, name=None):
         kernel_dilation=(dilation, dilation),
         use_bias=False,
         kernel_init=kaiming_normal_fan_out,
+        dtype=dtype,
         name=name,
     )
 
@@ -65,11 +66,14 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     block_dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, **BN, name=name)
+            return nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, **BN, name=name
+            )
 
         def drop(h):
             if self.block_dropout:
@@ -77,14 +81,17 @@ class BasicBlock(nn.Module):
             return h
 
         identity = x
-        out = _conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = _conv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         out = bn("bn1")(out)
         out = nn.relu(out)
         out = drop(out)
-        out = _conv(self.planes, 3, name="conv2")(out)
+        out = _conv(self.planes, 3, dtype=self.dtype, name="conv2")(out)
         out = bn("bn2")(out)
         if self.downsample:
-            identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            identity = _conv(
+                self.planes, 1, self.stride, dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
             identity = bn("downsample_bn")(identity)
         out = nn.relu(out + identity)
         return drop(out)
@@ -100,11 +107,14 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dilation: int = 1
     block_dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, **BN, name=name)
+            return nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, **BN, name=name
+            )
 
         def drop(h):
             if self.block_dropout:
@@ -113,17 +123,22 @@ class Bottleneck(nn.Module):
 
         width = int(self.planes * (self.base_width / 64.0))
         identity = x
-        out = _conv(width, 1, name="conv1")(x)
+        out = _conv(width, 1, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
         out = drop(out)
-        out = _conv(width, 3, self.stride, self.dilation, name="conv2")(out)
+        out = _conv(
+            width, 3, self.stride, self.dilation, dtype=self.dtype, name="conv2"
+        )(out)
         out = nn.relu(bn("bn2")(out))
         out = drop(out)
-        out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
+        out = _conv(
+            self.planes * self.expansion, 1, dtype=self.dtype, name="conv3"
+        )(out)
         out = bn("bn3")(out)
         if self.downsample:
             identity = _conv(
-                self.planes * self.expansion, 1, self.stride, name="downsample_conv"
+                self.planes * self.expansion, 1, self.stride, dtype=self.dtype,
+                name="downsample_conv",
             )(x)
             identity = bn("downsample_bn")(identity)
         out = nn.relu(out + identity)
@@ -143,6 +158,7 @@ class ResNet(nn.Module):
     in_channels: int = 3
     width_per_group: int = 64
     block_dropout: float = 0.0
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     def setup(self):
         self.stem_conv = nn.Conv(
@@ -152,9 +168,10 @@ class ResNet(nn.Module):
             padding=[(3, 3), (3, 3)],
             use_bias=False,
             kernel_init=kaiming_normal_fan_out,
+            dtype=self.dtype,
             name="conv1",
         )
-        self.stem_bn = nn.BatchNorm(**BN, name="bn1")
+        self.stem_bn = nn.BatchNorm(dtype=self.dtype, **BN, name="bn1")
         blocks = []
         inplanes = 64
         for li, (planes, n, stride) in enumerate(
@@ -171,6 +188,7 @@ class ResNet(nn.Module):
                     stride=s,
                     downsample=need_down,
                     block_dropout=self.block_dropout,
+                    dtype=self.dtype,
                     name=f"layer{li + 1}_{bi}",
                 )
                 if self.block is Bottleneck:
@@ -184,6 +202,7 @@ class ResNet(nn.Module):
             self.num_classes,
             kernel_init=_torch_linear_kernel_init,
             bias_init=_torch_linear_bias_init(feat),
+            dtype=self.dtype,
         )
 
     def _to_nhwc(self, x):
@@ -194,6 +213,8 @@ class ResNet(nn.Module):
 
     def stem(self, x, train: bool):
         x = self._to_nhwc(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = self.stem_conv(x)
         x = self.stem_bn(x, use_running_average=not train)
         x = nn.relu(x)
@@ -212,7 +233,8 @@ class ResNet(nn.Module):
     def __call__(self, x, *, train: bool = False):
         h = self.features(x, train=train)
         h = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + flatten
-        return self.fc(h)
+        # logits in f32: the loss/softmax should not run in bf16
+        return self.fc(h).astype(jnp.float32)
 
 
 def resnet18(**kw):

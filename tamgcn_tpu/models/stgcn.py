@@ -48,7 +48,8 @@ def torch_conv_default_bias_init(fan_in: int):
     return init
 
 
-def _conv(features, kernel_size, fan_in, strides=(1, 1), padding="VALID", name=None):
+def _conv(features, kernel_size, fan_in, strides=(1, 1), padding="VALID",
+          dtype=None, name=None):
     return nn.Conv(
         features,
         kernel_size,
@@ -56,6 +57,7 @@ def _conv(features, kernel_size, fan_in, strides=(1, 1), padding="VALID", name=N
         padding=padding,
         kernel_init=torch_conv_default_kernel_init,
         bias_init=torch_conv_default_bias_init(fan_in),
+        dtype=dtype,
         name=name,
     )
 
@@ -70,6 +72,7 @@ class ConvTemporalGraphical(nn.Module):
     t_stride: int = 1
     t_padding: int = 0
     t_dilation: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, A: jax.Array) -> jax.Array:
@@ -83,6 +86,7 @@ class ConvTemporalGraphical(nn.Module):
             kernel_dilation=(self.t_dilation, 1),
             kernel_init=torch_conv_default_kernel_init,
             bias_init=torch_conv_default_bias_init(n_in),
+            dtype=self.dtype,
             name="conv",
         )(x)
         n, t, v, kc = h.shape
@@ -99,6 +103,7 @@ class STGCNBlock(nn.Module):
     stride: int = 1
     dropout: float = 0.0
     residual: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, A: jax.Array, *, train: bool) -> jax.Array:
@@ -116,15 +121,23 @@ class STGCNBlock(nn.Module):
                 (1, 1),
                 self.in_channels,
                 strides=(self.stride, 1),
+                dtype=self.dtype,
                 name="res_conv",
             )(x)
-            res = nn.BatchNorm(use_running_average=not train, **BN, name="res_bn")(res)
+            res = nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, **BN,
+                name="res_bn",
+            )(res)
 
         h = ConvTemporalGraphical(
-            self.in_channels, self.out_channels, self.kernel_size[1], name="gcn"
+            self.in_channels, self.out_channels, self.kernel_size[1],
+            dtype=self.dtype, name="gcn",
         )(x, A)
         # tcn: BN -> ReLU -> (k,1) conv -> BN -> Dropout (reference :76-82)
-        h = nn.BatchNorm(use_running_average=not train, **BN, name="tcn_bn1")(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, **BN,
+            name="tcn_bn1",
+        )(h)
         h = nn.relu(h)
         h = _conv(
             self.out_channels,
@@ -132,9 +145,13 @@ class STGCNBlock(nn.Module):
             self.out_channels * self.kernel_size[0],
             strides=(self.stride, 1),
             padding=[(pad, pad), (0, 0)],
+            dtype=self.dtype,
             name="tcn_conv",
         )(h)
-        h = nn.BatchNorm(use_running_average=not train, **BN, name="tcn_bn2")(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, **BN,
+            name="tcn_bn2",
+        )(h)
         if self.dropout:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.relu(h + res)
@@ -159,6 +176,7 @@ class STGCN(nn.Module):
     edge_importance_weighting: bool = True
     dropout: float = 0.0
     block_dropout: float = 0.0  # reference **kwargs dropout forwarded to st_gcn
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     def setup(self):
         if self.graph is None:
@@ -186,7 +204,8 @@ class STGCN(nn.Module):
             (256, 256, 1, True),
         ]
         self.blocks = [
-            STGCNBlock(i, o, ks, s, dropout=self.block_dropout, residual=r)
+            STGCNBlock(i, o, ks, s, dropout=self.block_dropout, residual=r,
+                       dtype=self.dtype)
             for (i, o, s, r) in cfg
         ]
         if self.edge_importance_weighting:
@@ -197,7 +216,7 @@ class STGCN(nn.Module):
         else:
             self.edge_importance = [1.0] * len(cfg)
 
-        self.data_bn = nn.BatchNorm(**BN)
+        self.data_bn = nn.BatchNorm(dtype=self.dtype, **BN)
         # head: 1x1 conv == Dense on pooled features (reference :163)
         self.fcn = nn.Dense(
             self.num_class,
@@ -205,6 +224,7 @@ class STGCN(nn.Module):
                 k, (1, 1) + s, d
             )[0, 0],
             bias_init=torch_conv_default_bias_init(256),
+            dtype=self.dtype,
         )
         self.drop = nn.Dropout(self.dropout) if self.dropout else None
 
@@ -217,6 +237,8 @@ class STGCN(nn.Module):
 
     def _stem(self, x: jax.Array, train: bool):
         """data BN over (V, C) features per (N*M) sample (reference :179-184)."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         N, C, T, V, M = x.shape
         h = jnp.transpose(x, (0, 4, 2, 3, 1)).reshape(N * M, T, V * C)
         h = self.data_bn(h, use_running_average=not train)
@@ -236,7 +258,8 @@ class STGCN(nn.Module):
         h = h.reshape(N, M, -1).mean(axis=1)
         if self.drop is not None:
             h = self.drop(h, deterministic=not train)
-        return self.fcn(h)
+        # logits in f32: the loss/softmax should not run in bf16
+        return self.fcn(h).astype(jnp.float32)
 
     def extract_feature(self, x: jax.Array, *, train: bool = False):
         """(output, feature) pre-pool maps — reference models/stgcn.py:200-225."""

@@ -127,9 +127,10 @@ def _unit_bwd(res, g):
                       preferred_element_type=jnp.float32)
     dd = jnp.einsum("nsuvc,src->nsuvr", dp, w4s,
                     preferred_element_type=jnp.float32)
-    dpre = dd * (1.0 - d * d)
-    dx1s = jnp.sum(dpre, axis=3)
-    dx2s = -jnp.sum(dpre, axis=2)
+    dpre = dd * (1.0 - d.astype(jnp.float32) * d.astype(jnp.float32))
+    # cotangent dtypes must match the primals (bf16 under mixed precision)
+    dx1s = jnp.sum(dpre, axis=3).astype(x1s.dtype)
+    dx2s = -jnp.sum(dpre, axis=2).astype(x2s.dtype)
     return dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs
 
 

@@ -210,15 +210,16 @@ def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
     BN, S, V, R = x1_ref.shape
     ms = []
     for s in range(S):
-        x1 = x1_ref[:, s]
-        x2 = x2_ref[:, s]
+        # bf16-safe: inputs may be bf16, all arithmetic runs f32 in VMEM
+        x1 = x1_ref[:, s].astype(jnp.float32)
+        x2 = x2_ref[:, s].astype(jnp.float32)
         # m[u, v]: output joint u on an outer dim (stage 2 indexes it), input
         # joint v on sublanes (aligned with x3's joint axis)
         d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (BN, u, v, R)
         m = jnp.dot(d.reshape(BN * V * V, R), w4_ref[s],
                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
         ms.append((m + b4_ref[s][None]) * alpha + A_ref[s][None, :, :, None])
-    x3 = x3_ref[:]
+    x3 = x3_ref[:].astype(jnp.float32)
     for u in range(V):
         acc = None
         for s in range(S):
@@ -226,7 +227,7 @@ def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
             term = jnp.sum(ms[s][:, u, :, :][:, None, :, :] * x3_s,
                            axis=2, keepdims=True)
             acc = term if acc is None else acc + term
-        out_ref[:, :, u:u + 1, :] = acc
+        out_ref[:, :, u:u + 1, :] = acc.astype(out_ref.dtype)
 
 
 def _unit_bwd_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
@@ -243,10 +244,10 @@ def _unit_bwd_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
     T = g_ref.shape[1]
-    g = g_ref[:]
+    g = g_ref[:].astype(jnp.float32)
     for s in range(S):
-        x1 = x1_ref[:, s]
-        x2 = x2_ref[:, s]
+        x1 = x1_ref[:, s].astype(jnp.float32)
+        x2 = x2_ref[:, s].astype(jnp.float32)
         # mT[v, u] = M[u, v]: stage-2 indexes input joint v on an outer dim
         dT = jnp.tanh(x1[:, None, :, :] - x2[:, :, None, :])  # (BN, v, u, R)
         mT = jnp.dot(dT.reshape(BN * V * V, R), w4_ref[s],
@@ -255,10 +256,10 @@ def _unit_bwd_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
         for v in range(V):
             acc = jnp.sum(mT[:, v, :, :][:, None, :, :] * g,
                           axis=2, keepdims=True)
-            dx3_ref[:, :, v:v + 1, s * c:(s + 1) * c] = acc
+            dx3_ref[:, :, v:v + 1, s * c:(s + 1) * c] = acc.astype(dx3_ref.dtype)
     # dm: contraction over t (an outer dim for both g and x3)
     for s in range(S):
-        x3_s = x3_ref[:, :, :, s * c:(s + 1) * c]
+        x3_s = x3_ref[:, :, :, s * c:(s + 1) * c].astype(jnp.float32)
         for u in range(V):
             acc = None
             for t in range(T):
@@ -303,7 +304,7 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
         ],
         out_specs=pl.BlockSpec((bn, T, V, C), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, T, V, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, T, V, C), x3s.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -343,7 +344,7 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, T, V, S * C), jnp.float32),
+            jax.ShapeDtypeStruct((N, T, V, S * C), x3s.dtype),
             jax.ShapeDtypeStruct((N, S, V, V, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

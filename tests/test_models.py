@@ -113,3 +113,41 @@ def test_model_registry():
     m = get_model("models.ctrgcn.Model", num_class=10, num_point=20,
                   num_person=1, graph="ucla")
     assert m.num_class == 10
+
+
+def test_ctrgcn_bf16_compute_dtype():
+    """Mixed precision: bf16 activations, f32 params/BN stats; finite grads."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tamgcn_tpu.models import get_model
+
+    model = get_model(
+        "ctrgcn", num_class=10, num_point=20, num_person=1, graph="ucla",
+        dtype="bfloat16",
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 16, 20, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # params stay f32
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(variables["params"])
+    )
+    logits = model.apply(variables, x, train=False)
+    assert logits.dtype == jnp.float32 and logits.shape == (2, 10)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out, jnp.asarray([1, 2])
+        ).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+        assert leaf.dtype == jnp.float32
