@@ -106,32 +106,14 @@ def _unit_fwd(x1s, x2s, x3s, w4s, b4s, alpha, As):
 
 
 def _unit_bwd(res, g):
-    """dx3 and dm = sum_t g x3 via the fused backward kernel; the remaining
-    (small) parameter gradients from dm in XLA."""
+    """The entire gradient set comes out of the fully-fused backward kernel
+    (pallas/ctr_gc.py:unit_ctr_gc_bwd_pallas): dx3 via transposed-diagonal
+    rolls, dm accumulated only in VMEM, the parameter gradients as in-kernel
+    MXU matmuls accumulated across the sample grid."""
     from .pallas.ctr_gc import unit_ctr_gc_bwd_pallas
 
     x1s, x2s, x3s, w4s, b4s, alpha, As = res
-    S = x1s.shape[1]
-    dx3s, dm = unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As)
-    # dm: (N, S, U, V, C); d: (N, S, U, V, R)
-    d = jnp.tanh(x1s[:, :, :, None, :] - x2s[:, :, None, :, :])
-    dAs = jnp.sum(dm, axis=(0, 4))  # (S, V, V)
-    dp = dm * alpha  # dL/dP where P = D @ w4 + b4
-    p = (
-        jnp.einsum("nsuvr,src->nsuvc", d, w4s, preferred_element_type=jnp.float32)
-        + b4s[None, :, None, None, :]
-    )
-    dalpha = jnp.reshape(jnp.sum(dm * p), jnp.shape(alpha))
-    db4s = jnp.sum(dp, axis=(0, 2, 3))  # (S, C)
-    dw4s = jnp.einsum("nsuvr,nsuvc->src", d, dp,
-                      preferred_element_type=jnp.float32)
-    dd = jnp.einsum("nsuvc,src->nsuvr", dp, w4s,
-                    preferred_element_type=jnp.float32)
-    dpre = dd * (1.0 - d.astype(jnp.float32) * d.astype(jnp.float32))
-    # cotangent dtypes must match the primals (bf16 under mixed precision)
-    dx1s = jnp.sum(dpre, axis=3).astype(x1s.dtype)
-    dx2s = -jnp.sum(dpre, axis=2).astype(x2s.dtype)
-    return dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs
+    return unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As)
 
 
 _unit_ctr_gc_pallas.defvjp(_unit_fwd, _unit_bwd)

@@ -191,95 +191,258 @@ ctr_gc_fused_pallas.defvjp(_fwd, _bwd)
 #     model naturally produces — so no relayout between conv and kernel;
 #   * the output is written ONCE (previously 3 kernel outputs + 2 adds);
 #   * one kernel launch per unit_gcn instead of three.
-# Measured (tunneled v5e, honest chained timing): 593 us vs 3 x 455-511 us
-# per-subset at (N=64, T=13, V=20, C=256) — ~2.3x.
 #
-# The backward kernel additionally fuses the dm = sum_t g*x3 contraction that
-# XLA otherwise runs as a layout-hostile einsum materialising (N, V, V, C)
-# per subset to HBM (the dominant cost of the unfused backward).
+# Stage 2 runs as a ROLL-DIAGONAL aggregation: reorganised over the joint
+# offset d = (v - u) mod V, every VPU step is one full-width FMA of the
+# packed (BN, BT, V, S*C) block against the d-th diagonal of the refined
+# adjacency, with a single constant -1 sublane roll of x3 between steps —
+# no per-joint 1-sublane slicing anywhere. Measured (tunneled v5e, chained
+# timing, vs the per-joint slice form): 2138 -> 910 us at (T=52, C=64),
+# 1157 -> 653 us at (T=26, C=128), 848 -> 697 us at (T=13, C=256).
+#
+# The backward is TWO kernels sharing the same structure: dx3 via
+# transposed-diagonal rolls of g, and a parameter-gradient kernel that
+# accumulates dm (diagonal layout) in a VMEM scratch across T-blocks and
+# derives ALL parameter gradients in-kernel via two small MXU matmuls per
+# subset — the (N, S, V, V, C) dm tensor (78 MB at C=256) and the einsum
+# chain XLA previously ran on it never touch HBM. End-to-end CTRGCN train
+# step: 57.3 -> 47.9 ms (batch 64, f32).
 # ---------------------------------------------------------------------------
 
 S_SUBSETS = 3
 
 
-def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
+def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, Ad_ref,
                      out_ref, *, c: int):
-    """x1,x2 (BN,S,V,R); x3 (BN,T,V,S*C); w4 (S,R,C); b4 (S,1,C); A (S,V,V);
-    out (BN,T,V,C) = sum_s sum_v m_s[u,v,c] * x3_s[t,v,c]."""
+    """Roll-diagonal forward. x1,x2 (BN,S,V,R); x3 (BN,BT,V,S*C); w4 (S,R,C);
+    b4 (S,1,C); Ad (S,V,V) pre-gathered diagonals Ad[s,d,u] = A[s,u,(u+d)%V];
+    out (BN,BT,V,C) = sum_s sum_v m_s[u,v,c] * x3_s[t,v,c].
+
+    The aggregation is reorganised over the joint offset d = (v - u) mod V:
+
+        out += md[:, d] * roll(x3, -d, joint axis)       d = 0..V-1
+
+    so every VPU step is a FULL-width (BN, BT, V, S*C) FMA — no 1-sublane
+    slicing, and one roll of the packed x3 serves all three subsets at once
+    (measured ~3x over the per-joint slice form at T=52, C=64). md is built
+    from V cheap (BN, V, R) rolls of x2 and one MXU matmul per subset:
+    md[d, u] = M[u, (u+d) % V]. Long T*S*C shapes are split over the second
+    grid dim (md recomputed per T-block — MXU work that is cheap next to the
+    VPU stage) so the roll-chain buffers stay inside scoped VMEM."""
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
-    ms = []
+    mds = []
     for s in range(S):
         # bf16-safe: inputs may be bf16, all arithmetic runs f32 in VMEM
         x1 = x1_ref[:, s].astype(jnp.float32)
-        x2 = x2_ref[:, s].astype(jnp.float32)
-        # m[u, v]: output joint u on an outer dim (stage 2 indexes it), input
-        # joint v on sublanes (aligned with x3's joint axis)
-        d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (BN, u, v, R)
-        m = jnp.dot(d.reshape(BN * V * V, R), w4_ref[s],
-                    preferred_element_type=jnp.float32).reshape(BN, V, V, c)
-        ms.append((m + b4_ref[s][None]) * alpha + A_ref[s][None, :, :, None])
-    x3 = x3_ref[:].astype(jnp.float32)
-    for u in range(V):
-        acc = None
-        for s in range(S):
-            x3_s = x3[:, :, :, s * c:(s + 1) * c]
-            term = jnp.sum(ms[s][:, u, :, :][:, None, :, :] * x3_s,
-                           axis=2, keepdims=True)
-            acc = term if acc is None else acc + term
-        out_ref[:, :, u:u + 1, :] = acc.astype(out_ref.dtype)
+        x2r = x2_ref[:, s].astype(jnp.float32)
+        ds = []
+        for dd in range(V):
+            ds.append(x1 - x2r)  # at offset dd: x2[(u+dd) % V]
+            if dd + 1 < V:
+                x2r = pltpu.roll(x2r, V - 1, axis=1)
+        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, u, R)
+        md = jnp.dot(dstack.reshape(BN * V * V, R), w4_ref[s],
+                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        mds.append((md + b4_ref[s][None]) * alpha
+                   + Ad_ref[s][None, :, :, None])
+    # packed stage 2: 20 FULL-width (BN, BT, V, S*c) FMAs (one shared roll
+    # chain for all three subsets) measured ~2x the per-subset 60-FMA form
+    mdcat = jnp.concatenate(mds, axis=-1)  # (BN, d, u, S*c)
+    x3r = x3_ref[:].astype(jnp.float32)    # (BN, BT, V, S*c)
+    acc = mdcat[:, 0][:, None] * x3r
+    for dd in range(1, V):
+        x3r = pltpu.roll(x3r, V - 1, axis=2)
+        acc = acc + mdcat[:, dd][:, None] * x3r
+    res = acc[..., 0:c]
+    for s in range(1, S):
+        res = res + acc[..., s * c:(s + 1) * c]
+    out_ref[:] = res.astype(out_ref.dtype)
 
 
-def _unit_bwd_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
-                     A_ref, dx3_ref, dm_ref, *, c: int):
-    """Fused backward data path.
+def _unit_bwd_dx3_kernel(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref,
+                         Atd_ref, dx3_ref, *, c: int):
+    """Backward data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c].
 
-    dx3_s[t,v,c] = sum_u m_s[u,v,c] * g[t,u,c]   (aggregation is linear in x3)
-    dm_s[u,v,c]  = sum_t g[t,u,c] * x3_s[t,v,c]
-
-    in: x1,x2 (BN,S,V,R); g (BN,T,V,C); x3 (BN,T,V,S*C); w4 (S,R,C);
-        b4 (S,1,C); alpha SMEM; A (S,V,V)
-    out: dx3 (BN,T,V,S*C); dm (BN,S,V,V,C)  [dm[u,v] indexed (out, in)]
+    Same roll-diagonal structure as the forward, transposed: mtd[d,v] =
+    M[(v+d)%V, v] is built by rolling x1 against a fixed x2, and the packed
+    (S*c-wide) g replica rolls once per offset. Atd is the pre-gathered
+    transposed diagonal Atd[s,d,v] = A[s,(v+d)%V,v].
     """
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
-    T = g_ref.shape[1]
-    g = g_ref[:].astype(jnp.float32)
+    mtds = []
     for s in range(S):
-        x1 = x1_ref[:, s].astype(jnp.float32)
+        x1r = x1_ref[:, s].astype(jnp.float32)
         x2 = x2_ref[:, s].astype(jnp.float32)
-        # mT[v, u] = M[u, v]: stage-2 indexes input joint v on an outer dim
-        dT = jnp.tanh(x1[:, None, :, :] - x2[:, :, None, :])  # (BN, v, u, R)
-        mT = jnp.dot(dT.reshape(BN * V * V, R), w4_ref[s],
-                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
-        mT = (mT + b4_ref[s][None]) * alpha + A_ref[s].T[None, :, :, None]
-        for v in range(V):
-            acc = jnp.sum(mT[:, v, :, :][:, None, :, :] * g,
-                          axis=2, keepdims=True)
-            dx3_ref[:, :, v:v + 1, s * c:(s + 1) * c] = acc.astype(dx3_ref.dtype)
-    # dm: contraction over t (an outer dim for both g and x3)
-    for s in range(S):
-        x3_s = x3_ref[:, :, :, s * c:(s + 1) * c].astype(jnp.float32)
-        for u in range(V):
-            acc = None
-            for t in range(T):
-                term = g[:, t, u:u + 1, :] * x3_s[:, t]
-                acc = term if acc is None else acc + term
-            dm_ref[:, s, u, :, :] = acc
+        ds = []
+        for dd in range(V):
+            ds.append(x1r - x2)  # at offset dd: x1[(v+dd) % V]
+            if dd + 1 < V:
+                x1r = pltpu.roll(x1r, V - 1, axis=1)
+        dstackT = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, v, R)
+        mtd = jnp.dot(dstackT.reshape(BN * V * V, R), w4_ref[s],
+                      preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        mtds.append((mtd + b4_ref[s][None]) * alpha
+                    + Atd_ref[s][None, :, :, None])
+    mtdcat = jnp.concatenate(mtds, axis=-1)        # (BN, d, v, S*c)
+    gc = g_ref[:].astype(jnp.float32)              # (BN, BT, V, C)
+    gr = jnp.concatenate([gc] * S, axis=-1)        # (BN, BT, V, S*c)
+    acc = mtdcat[:, 0][:, None] * gr
+    for dd in range(1, V):
+        gr = pltpu.roll(gr, V - 1, axis=2)
+        acc = acc + mtdcat[:, dd][:, None] * gr
+    dx3_ref[:] = acc.astype(dx3_ref.dtype)
 
 
-def _unit_block_n(n: int, t: int, v: int, c: int, s: int, bwd: bool) -> int:
-    """Samples per program targeting ~2.5 MB of padded VMEM blocks."""
-    vp = -(-v // 8) * 8
-    cp = -(-c // 128) * 128
-    per = (t * vp * s * cp + t * vp * cp + s * v * vp * cp) * 4
-    if bwd:
-        per += (t * vp * s * cp + s * v * vp * cp) * 4
-    target = max(1, (5 << 20) // max(per, 1))
+def _unit_bwd_param_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref,
+                           alpha_ref,
+                           dx1_ref, dx2_ref, dw4_ref, db4_ref, dAd_ref,
+                           dalpha_ref, dmd_scr, *, c: int):
+    """Backward parameter gradients, fused: nothing V²xC-sized leaves VMEM.
+
+    The (N, S, V, V, C) dm tensor the unfused backward materialised to HBM
+    (78 MB at N=64, C=256) lives here only as the `dmd_scr` scratch
+    accumulator (diagonal layout, one sample block wide), and the parameter
+    gradients that XLA previously computed from it via layout-hostile
+    einsums become two small MXU matmuls per subset.
+
+    Grid: (sample blocks, T blocks), T innermost. Each (i, j) program
+    accumulates dmd partial sums for its T-block (phase B); the last T-block
+    of each sample block runs phase C (parameter grads + dx1/dx2),
+    accumulating the shared parameter outputs across sample blocks.
+
+    Math (per subset s, per sample; diagonal layout d = (v - u) mod V):
+      dmd[d,u]   = sum_t g[t,u] * x3[t,(u+d)%V]       (forward diag rolls)
+      dA[u,v]    = sum_{n,c} dm  -> accumulated as dAd[d,u], scattered outside
+      db4        = alpha * sum_{n,d,u} dmd
+      dw4[r,c]   = alpha * sum_{n,d,u} D[.,r] dmd[.,c]        (MXU, lhs.T)
+      dalpha     = sum dmd * (D @ w4 + b4)
+      dpre       = alpha * (dmd @ w4.T) * (1 - D**2)
+      dx1[u]     = sum_d dpre[d,u];  dx2[v] = -sum_d roll(dpre[d], d)
+    """
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    first_sample_block = pl.program_id(0) == 0
+
+    # ---- phase B: dmd accumulation over T-blocks (forward-diag layout) ----
+    gc = g_ref[:].astype(jnp.float32)
+    gr = jnp.concatenate([gc] * S, axis=-1)
+    x3r = x3_ref[:].astype(jnp.float32)
+    for dd in range(V):
+        if dd:
+            x3r = pltpu.roll(x3r, V - 1, axis=2)
+        part = jnp.sum(gr * x3r, axis=1)  # (BN, u, S*c)
+
+        @pl.when(j == 0)
+        def _set(dd=dd, part=part):
+            dmd_scr[:, dd] = part
+
+        @pl.when(j != 0)
+        def _add(dd=dd, part=part):
+            dmd_scr[:, dd] += part
+
+    # ---- phase C (last T-block): parameter grads + dx1/dx2 from dmd -------
+    @pl.when(j == nt - 1)
+    def _param_grads():
+        def accum(ref, idx, val):
+            ref[idx] = jnp.where(first_sample_block, val, ref[idx] + val)
+
+        dalpha_local = jnp.zeros((1, 1), jnp.float32)
+        for s in range(S):
+            dmd_s = dmd_scr[:, :, :, s * c:(s + 1) * c]  # (BN, d, u, c)
+            x2r = x2_ref[:, s].astype(jnp.float32)
+            x1 = x1_ref[:, s].astype(jnp.float32)
+            ds = []
+            for dd in range(V):
+                ds.append(x1 - x2r)  # forward diag: x2[(u+dd) % V]
+                if dd + 1 < V:
+                    x2r = pltpu.roll(x2r, V - 1, axis=1)
+            dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, u, R)
+            d2 = dstack.reshape(BN * V * V, R)
+            dmd2 = dmd_s.reshape(BN * V * V, c)
+            accum(dAd_ref, s, jnp.sum(dmd_s, axis=(0, 3)))
+            accum(db4_ref, s, alpha * jnp.sum(dmd2, axis=0)[None, :])
+            # dw4 = alpha * D^T @ dmd (contract the BN*V*V rows on the MXU)
+            accum(dw4_ref, s, alpha * jax.lax.dot_general(
+                d2, dmd2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            p = jnp.dot(d2, w4_ref[s],
+                        preferred_element_type=jnp.float32) + b4_ref[s]
+            dalpha_local = dalpha_local + jnp.sum(dmd2 * p).reshape(1, 1)
+            # dpre = alpha * (dmd @ w4^T) * (1 - D^2)
+            dd_r = jax.lax.dot_general(
+                dmd2, w4_ref[s], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpre = (alpha * dd_r * (1.0 - d2 * d2)).reshape(BN, V, V, R)
+            dx1_ref[:, s] = jnp.sum(dpre, axis=1).astype(dx1_ref.dtype)
+            acc2 = dpre[:, 0]
+            for dd in range(1, V):
+                # contribution of offset dd lands on joint v = (u + dd) % V
+                acc2 = acc2 + pltpu.roll(dpre[:, dd], dd, axis=1)
+            dx2_ref[:, s] = (-acc2).astype(dx2_ref.dtype)
+        accum(dalpha_ref, (slice(None), slice(None)), dalpha_local)
+
+
+# Empirical scoped-VMEM caps for the T-block size, expressed as
+# bt * (padded packed-channel lane bytes). Calibrated on the v5e against
+# Mosaic's actual stack accounting (a first-principles byte model
+# underestimates the roll-chain buffers ~2x): (T=52, S*C=192->256 lanes)
+# compiles at 53248 B/row for the forward, while (T=52, S*C=384 lanes) =
+# 79872 B/row overflows (17.4 MB > 16 MB). The backward holds the g block,
+# dx3 block and the dmd scratch on top, so its cap is lower.
+_FWD_ROW_BYTES_CAP = 53248
+_BWD_ROW_BYTES_CAP = 40960
+
+
+def _packed_row_bytes(c: int, s: int) -> int:
+    """f32 bytes of one (joint, packed-channel) lane row, lane-padded."""
+    lanes = -(-(s * c) // 128) * 128
+    return lanes * 4
+
+
+def _pick_blocks(n: int, t: int, cap_bytes: int, row_bytes: int
+                 ) -> tuple[int, int]:
+    """Largest divisor-of-T block (then sample block) with
+    bn * bt * row_bytes <= cap_bytes."""
+    bt = 1
+    for cand in sorted(
+        (d for d in range(1, t + 1) if t % d == 0), reverse=True
+    ):
+        if cand * row_bytes <= cap_bytes:
+            bt = cand
+            break
     bn = 1
-    while bn * 2 <= min(target, n) and n % (bn * 2) == 0:
+    while (bn * 2 <= n and n % (bn * 2) == 0
+           and bn * 2 * bt * row_bytes <= cap_bytes):
         bn *= 2
-    return bn
+    return bn, bt
+
+
+def _unit_block_n(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
+    """(samples per program, T-block) for the forward grid."""
+    return _pick_blocks(n, t, _FWD_ROW_BYTES_CAP, _packed_row_bytes(c, s))
+
+
+def _unit_bwd_blocks(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
+    """(samples per program, T-block) for the backward grid. BT must divide
+    T exactly (a padded tail block would feed garbage frames into the dmd
+    accumulation) — _pick_blocks only returns divisors."""
+    return _pick_blocks(n, t, _BWD_ROW_BYTES_CAP, _packed_row_bytes(c, s))
+
+
+def _gather_diag(As, transpose: bool):
+    """Ad[s,d,u] = A[s,u,(u+d)%V] (fwd) or Atd[s,d,v] = A[s,(v+d)%V,v]."""
+    V = As.shape[-1]
+    u = jnp.arange(V)[None, :]
+    d = jnp.arange(V)[:, None]
+    if transpose:
+        return As[:, (u + d) % V, u]
+    return As[:, u, (u + d) % V]
 
 
 def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
@@ -288,25 +451,26 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
-    bn = _unit_block_n(N, T, V, C, S, bwd=False)
+    bn, bt = _unit_block_n(N, T, V, C, S)
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    Ad = _gather_diag(As, transpose=False)
     return pl.pallas_call(
         functools.partial(_unit_fwd_kernel, c=C),
-        grid=(N // bn,),
+        grid=(N // bn, T // bt),
         in_specs=[
-            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, T, V, S * C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, R, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((S, V, V), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bt, V, S * C), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, V, V), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn, T, V, C), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bn, bt, V, C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, T, V, C), x3s.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * S * (V * V * R * C + T * V * V * C),
@@ -314,46 +478,107 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
             transcendentals=N * S * V * V * R,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x1s, x2s, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, As)
+    )(x1s, x2s, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, Ad)
 
 
 def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
-    """Backward kernel call -> (dx3s (N,T,V,S*C), dm (N,S,V,V,C))."""
+    """Fully-fused backward kernel call.
+
+    Returns (dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs) — the complete
+    gradient set of the unit op; the dense (N,S,V,V,C) dm intermediate never
+    touches HBM. dAs is scattered back from the kernel's diagonal layout.
+    """
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
-    bn = _unit_block_n(N, T, V, C, S, bwd=True)
+    interp = jax.default_backend() != "tpu"
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
-    return pl.pallas_call(
-        functools.partial(_unit_bwd_kernel, c=C),
-        grid=(N // bn,),
+    Atd = _gather_diag(As, transpose=True)
+    b4r = b4s.reshape(S, 1, C)
+
+    # kernel 1: dx3 (same footprint class as the forward kernel)
+    bn, bt = _unit_block_n(N, T, V, C, S)
+    dx3s = pl.pallas_call(
+        functools.partial(_unit_bwd_dx3_kernel, c=C),
+        grid=(N // bn, T // bt),
         in_specs=[
-            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, S, V, R), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, T, V, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, T, V, S * C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, R, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((S, V, V), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bt, V, C), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, V, V), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, bt, V, S * C), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, T, V, S * C), x3s.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * S * (T * V * V * C + V * V * R * C),
+            bytes_accessed=4 * N * (T * V * (S + 1) * C + 2 * S * V * R),
+            transcendentals=N * S * V * V * R,
+        ),
+        interpret=interp,
+    )(x1s, x2s, g, w4s, b4r, alpha2d, Atd)
+
+    # kernel 2: dmd accumulation + all parameter gradients
+    bn, bt = _unit_bwd_blocks(N, T, V, C, S)
+    dx1s, dx2s, dw4s, db4s2, dAd, dalpha2 = pl.pallas_call(
+        functools.partial(_unit_bwd_param_kernel, c=C),
+        grid=(N // bn, T // bt),
+        in_specs=[
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bt, V, C), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bt, V, S * C), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bn, T, V, S * C), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, S, V, V, C), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, V, V), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, T, V, S * C), x3s.dtype),
-            jax.ShapeDtypeStruct((N, S, V, V, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, S, V, R), x1s.dtype),
+            jax.ShapeDtypeStruct((N, S, V, R), x2s.dtype),
+            jax.ShapeDtypeStruct((S, R, C), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((S, V, V), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, V, V, S * C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * N * S * (T * V * V * C) + 2 * N * S * V * V * R * C,
-            bytes_accessed=4 * N * (2 * T * V * (S + 1) * C + S * V * V * C),
+            flops=2 * N * S * (T * V * V * C) + 6 * N * S * V * V * R * C,
+            bytes_accessed=4 * N * (T * V * (S + 1) * C + 4 * S * V * R),
             transcendentals=N * S * V * V * R,
         ),
-        interpret=jax.default_backend() != "tpu",
-    )(x1s, x2s, g, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, As)
+        interpret=interp,
+    )(x1s, x2s, g, x3s, w4s, b4r, alpha2d)
+    # scatter dAd (diagonal layout d,u) back to (u, v = (u+d) % V)
+    V_ = As.shape[-1]
+    u = jnp.arange(V_)[None, :]
+    d = jnp.arange(V_)[:, None]
+    dAs = jnp.zeros_like(dAd).at[:, u, (u + d) % V_].set(dAd).astype(As.dtype)
+    dalpha = jnp.reshape(dalpha2, jnp.shape(alpha)).astype(alpha.dtype)
+    db4s = db4s2.reshape(S, C).astype(b4s.dtype)
+    # cotangent dtypes must match the primals (bf16 under mixed precision)
+    return dx1s, dx2s, dx3s, dw4s.astype(w4s.dtype), db4s, dalpha, dAs
