@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: edges/s and train samples/s at 1..N devices.
+
+BASELINE.md's multi-host target is >=85% edges/s scaling efficiency at 2+
+hosts. This harness measures it wherever it runs:
+
+  * on a real pod slice it reports the true scaling numbers;
+  * on this repo's single-chip environment it falls back to the virtual
+    CPU-device mesh (--xla_force_host_platform_device_count), which validates
+    the *structure* (collective schedule, sharding, no resharding stalls) and
+    reports relative efficiency on host cores.
+
+Measured quantities, each at mesh sizes 1, 2, ..., N (powers of two):
+
+  1. ring_aggregate edges/s — the edge-partitioned distributed SpMM with
+     ppermute boundary exchange overlapped with local aggregation
+     (tamgcn_tpu/parallel/graph_parallel.py), joint axis sharded.
+  2. data-parallel train step samples/s — the full packed CTR-GCN train step
+     with the batch sharded over the mesh (per-device batch held constant,
+     i.e. weak scaling, the regime the 85% target describes).
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_scaling.py \
+        [--devices 8] [--batch-per-device 8] [--platform cpu|default]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_devices(n: int, platform: str):
+    import jax
+
+    if platform == "default":
+        devs = jax.devices()
+        if len(devs) < n:
+            devs = jax.devices("cpu")
+    else:
+        devs = jax.devices(platform)
+    if len(devs) < n:
+        raise SystemExit(
+            f"need {n} devices, have {len(devs)}; set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n}"
+        )
+    return devs[:n]
+
+
+def mesh_sizes(n: int):
+    k, out = 1, []
+    while k <= n:
+        out.append(k)
+        k *= 2
+    return out
+
+
+def time_jit(fn, args, iters=20, warmup=3):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_ring(devices, n_total, *, nbatch=8, t=64, v=32, c=128):
+    """ring_aggregate edges/s at each mesh size (joint axis sharded)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tamgcn_tpu.parallel.graph_parallel import ring_aggregate, shard_joints
+
+    rs = np.random.RandomState(0)
+    x_host = rs.randn(nbatch, t, v, c).astype(np.float32)
+    a_host = (rs.rand(v, v) * 0.1).astype(np.float32)
+
+    results = {}
+    for k in mesh_sizes(n_total):
+        mesh = Mesh(np.asarray(devices[:k]), ("model",))
+        x = shard_joints(mesh, jnp.asarray(x_host))
+        A = jnp.asarray(a_host)
+        fn = jax.jit(lambda xx, aa: ring_aggregate(xx, aa, mesh))
+        dt = time_jit(fn, (x, A))
+        edges = nbatch * t * v * v
+        results[k] = edges / dt
+        log(f"  ring k={k}: {dt*1e6:9.1f} us  {edges/dt/1e9:7.3f} Gedges/s")
+    return results
+
+
+def bench_dp_train(devices, n_total, *, batch_per_device=8):
+    """Weak-scaling data-parallel packed train step, samples/s per mesh size."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.parallel.sharded import (
+        init_sharded_state,
+        make_packed_train_step,
+    )
+    from tamgcn_tpu.train.optim import make_optimizer
+
+    on_tpu = devices[0].platform.lower() in ("tpu", "axon")
+    results = {}
+    for k in mesh_sizes(n_total):
+        mesh = Mesh(np.asarray(devices[:k]).reshape(k, 1), ("data", "model"))
+        model = create_ctrgcn_nucla(use_pallas=on_tpu)
+        batch = batch_per_device * k
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(batch, 3, 52, 20, 1), np.float32
+        )
+        labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
+        tx = make_optimizer("SGD", 0.1, steps_per_epoch=50, step=[50])
+        state = init_sharded_state(model, tx, mesh, x, jax.random.PRNGKey(0))
+        packed_step, flat, _ = make_packed_train_step(model, tx, state)
+        step = jax.jit(packed_step, donate_argnums=(0,))
+        sh = NamedSharding(mesh, P("data"))
+        xs, ls = jax.device_put(x, sh), jax.device_put(labels, sh)
+        rng = jax.random.PRNGKey(1)
+
+        with mesh:
+            # donated first arg: loop the state through, sync on the loss
+            loss = None
+            for _ in range(2):
+                flat, loss, _ = step(flat, xs, ls, rng)
+            jax.block_until_ready(loss)
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                flat, loss, _ = step(flat, xs, ls, rng)
+            jax.block_until_ready(loss)
+            dt = (time.perf_counter() - t0) / iters
+        results[k] = batch / dt
+        log(f"  dp k={k}: {dt*1e3:8.2f} ms/step  {batch/dt:9.1f} samples/s "
+            f"(global batch {batch})")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--batch-per-device", type=int, default=8)
+    ap.add_argument("--platform", default="default",
+                    help="'default' (TPU if enough chips, else CPU mesh), "
+                         "'cpu', 'tpu'")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from tamgcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    devices = get_devices(args.devices, args.platform)
+    n = args.devices
+    log(f"devices: {n} x {devices[0].platform} ({devices[0].device_kind})")
+    if devices[0].platform == "cpu":
+        log("NOTE: virtual CPU mesh — this validates the collective "
+            "schedule/sharding only; efficiency numbers are NOT meaningful "
+            "(the host oversubscribes a few physical cores). Run on a real "
+            "pod slice for the BASELINE.md scaling target.")
+
+    log("ring_aggregate (edge-partitioned SpMM, joint axis sharded):")
+    ring = bench_ring(devices, n)
+    if not args.skip_train:
+        log("data-parallel packed train step (weak scaling):")
+        dp = bench_dp_train(devices, n, batch_per_device=args.batch_per_device)
+    else:
+        dp = {}
+
+    base = ring[1]
+    for k, v in ring.items():
+        eff = v / (base * k)
+        log(f"ring scaling k={k}: {eff*100:6.1f}% efficiency")
+    if dp:
+        per_dev = {k: v / k for k, v in dp.items()}
+        for k, v in per_dev.items():
+            eff = v / per_dev[1]
+            log(f"dp weak-scaling k={k}: {eff*100:6.1f}% efficiency")
+        ks = max(dp)
+        print(
+            '{"metric": "dp_weak_scaling_efficiency", "value": %.4f, '
+            '"unit": "fraction@%dx%s", "vs_baseline": null}'
+            % (per_dev[ks] / per_dev[1], ks, devices[0].platform)
+        )
+
+
+if __name__ == "__main__":
+    main()
