@@ -149,8 +149,8 @@ def unit_ctr_gc(
     # Auto-dispatch stays on the XLA path below C=128: the folded kernel is
     # correct but measured slightly SLOWER in-model than XLA at C=64 (the
     # fold/unfold relayouts outweigh the kernel's lane-utilisation win:
-    # 69.4 vs 65.1 ms/step at batch 64). Explicit use_pallas=True still
-    # takes the folded path.
+    # 49.9 vs 47.9 ms/step at batch 64 with the roll-diagonal kernels).
+    # Explicit use_pallas=True still takes the folded path.
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and C >= 128
     if not use_pallas:

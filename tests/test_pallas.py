@@ -116,6 +116,7 @@ def _make_unit_inputs(n=2, t=13, v=20, c=128, r=16, s=3, seed=0):
         dict(n=2, t=13, v=20, c=256, r=32),  # NW-UCLA deep layers
         dict(n=2, t=26, v=20, c=128, r=16),  # mid layers
         dict(n=1, t=8, v=25, c=128, r=16),   # NTU joints
+        dict(n=2, t=9, v=20, c=128, r=16),   # odd T: T-block divisor logic
     ],
 )
 def test_unit_fwd_matches_xla(shape):
@@ -123,6 +124,25 @@ def test_unit_fwd_matches_xla(shape):
     got = np.asarray(_unit_ctr_gc_pallas(*args))
     want = np.asarray(unit_ctr_gc_xla(*args))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_unit_vjp_matches_xla_odd_t():
+    """Odd T exercises the backward's divisor-only T-block selection."""
+    args = _make_unit_inputs(n=2, t=9, v=20, c=128, r=16)
+
+    def f_pallas(*a):
+        return jnp.sum(jnp.sin(_unit_ctr_gc_pallas(*a)))
+
+    def f_xla(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc_xla(*a)))
+
+    gp = jax.grad(f_pallas, argnums=(0, 2, 3, 6))(*args)
+    gx = jax.grad(f_xla, argnums=(0, 2, 3, 6))(*args)
+    for name, a, b in zip(["x1s", "x3s", "w4s", "As"], gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch: {name}",
+        )
 
 
 def test_unit_vjp_matches_xla():
