@@ -49,6 +49,36 @@ from flax import struct
 from jax.flatten_util import ravel_pytree
 
 
+_LANE_TILE = 1024  # one (8, 128) f32 vreg tile
+
+
+def _ravel_padded(tree: Any) -> tuple[jax.Array, Callable, Callable]:
+    """(padded_flat, pad_fn, unravel) — ravel and zero-pad to a vreg-tile
+    multiple.
+
+    An unpadded flat buffer of arbitrary length forces XLA to tile the
+    elementwise optimizer/ravel work at whatever small factor the length
+    happens to have: the 1,693,260-param CTRGCN buffer was reshaped to
+    (564420, 3) — three of 128 lanes live, and ~1 ms/step of relayout.
+    Padding to a multiple of 8*128 makes every flat op full-width and the
+    reshapes bitcasts. The pad region carries zeros end-to-end (zero grads ->
+    zero momentum -> zero updates for every elementwise optax chain).
+    """
+    flat, unravel = ravel_pytree(tree)
+    n = flat.size
+    pad = (-n) % _LANE_TILE
+
+    def pad_fn(f: jax.Array) -> jax.Array:
+        if pad:
+            return jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+        return f
+
+    def unravel_padded(f: jax.Array):
+        return unravel(f[:n] if pad else f)
+
+    return pad_fn(flat), pad_fn, unravel_padded
+
+
 def pack_state(state: Any) -> tuple[jax.Array, Callable[[jax.Array], Any]]:
     """Flatten a state pytree into (flat_buffer, unravel_fn).
 
@@ -66,7 +96,7 @@ def pack_state(state: Any) -> tuple[jax.Array, Callable[[jax.Array], Any]]:
                     f"cannot pack {d} losslessly alongside floats; keep it "
                     "out of the packed state"
                 )
-    flat, unravel = ravel_pytree(state)
+    flat, _, unravel = _ravel_padded(state)
     return flat, unravel
 
 
@@ -88,7 +118,7 @@ def make_packed_step(
         state = unravel(flat_state)
         out = step_fn(state, *args)
         new_state, aux = out[0], out[1:]
-        new_flat, _ = ravel_pytree(new_state)
+        new_flat, _, _ = _ravel_padded(new_state)
         return (new_flat.astype(flat_state.dtype),) + tuple(aux)
 
     return packed_step, flat0, unravel
@@ -138,8 +168,14 @@ def make_fused_train_step(
     `train_step` with donate_argnums=(0,). `train_step(pstate, inputs, label,
     rng) -> (pstate, loss, acc)`.
     """
-    flat_p0, unravel_params = ravel_pytree(params)
-    flat_s0, unravel_stats = ravel_pytree(batch_stats)
+    flat_p0, pad_p, unravel_params = _ravel_padded(params)
+    flat_s0, pad_s, unravel_stats = _ravel_padded(batch_stats)
+    if freeze_mask is not None and freeze_mask.size != flat_p0.size:
+        # padded region: mask value irrelevant (its grads are zero); pad 0
+        freeze_mask = jnp.concatenate([
+            freeze_mask,
+            jnp.zeros((flat_p0.size - freeze_mask.size,), freeze_mask.dtype),
+        ])
     pstate0 = PackedTrainState(
         step=jnp.zeros((), jnp.int32),
         flat_params=flat_p0,
@@ -173,7 +209,7 @@ def make_fused_train_step(
         new_pstate = pstate.replace(
             step=pstate.step + 1,
             flat_params=new_flat_p,
-            flat_stats=ravel_pytree(new_stats)[0],
+            flat_stats=pad_s(ravel_pytree(new_stats)[0]),
             opt_state=new_opt,
         )
         return new_pstate, loss, acc

@@ -252,12 +252,12 @@ class RecognitionTrainer:
 
     def _repack_state(self):
         """Push self.state (after weight load / resume) into the packed state."""
-        from jax.flatten_util import ravel_pytree
+        from ..train.packing import _ravel_padded
 
         self.pstate = self.pstate.replace(
             step=jnp.asarray(self.state.step, jnp.int32),
-            flat_params=ravel_pytree(self.state.params)[0],
-            flat_stats=ravel_pytree(self.state.batch_stats)[0],
+            flat_params=_ravel_padded(self.state.params)[0],
+            flat_stats=_ravel_padded(self.state.batch_stats)[0],
             opt_state=(
                 self.state.opt_state
                 if self.state.opt_state is not None
