@@ -388,21 +388,23 @@ def _unit_bwd_param_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref,
         accum(dalpha_ref, (slice(None), slice(None)), dalpha_local)
 
 
-# Empirical scoped-VMEM caps for the T-block size, expressed as
-# bt * (padded packed-channel lane bytes). Calibrated on the v5e against
-# Mosaic's actual stack accounting (a first-principles byte model
-# underestimates the roll-chain buffers ~2x): (T=52, S*C=192->256 lanes)
-# compiles at 53248 B/row for the forward, while (T=52, S*C=384 lanes) =
-# 79872 B/row overflows (17.4 MB > 16 MB). The backward holds the g block,
-# dx3 block and the dmd scratch on top, so its cap is lower.
-_FWD_ROW_BYTES_CAP = 53248
-_BWD_ROW_BYTES_CAP = 40960
+# Empirical scoped-VMEM caps on the PADDED per-sample x3 block bytes
+# (bt * sublane-padded-V * lane-padded-S*C * 4). Calibrated on the v5e
+# against Mosaic's actual stack accounting (a first-principles byte model
+# underestimates the roll-chain buffers ~2x): at V=20 (24 sublanes) the
+# (T=52, S*C=192->256 lanes) = 1.28 MB block compiles for the forward,
+# while (T=52, S*C=384 lanes) = 1.92 MB overflows (17.4 MB > 16 MB). The
+# backward param kernel additionally holds the g block and the dmd scratch,
+# so its cap is lower.
+_FWD_BLOCK_BYTES_CAP = 53248 * 24
+_BWD_BLOCK_BYTES_CAP = 40960 * 24
 
 
-def _packed_row_bytes(c: int, s: int) -> int:
-    """f32 bytes of one (joint, packed-channel) lane row, lane-padded."""
+def _padded_sample_row_bytes(v: int, c: int, s: int) -> int:
+    """f32 bytes of one packed (joint, channel) frame, tile-padded."""
     lanes = -(-(s * c) // 128) * 128
-    return lanes * 4
+    vp = -(-v // 8) * 8
+    return vp * lanes * 4
 
 
 def _pick_blocks(n: int, t: int, cap_bytes: int, row_bytes: int
@@ -425,14 +427,18 @@ def _pick_blocks(n: int, t: int, cap_bytes: int, row_bytes: int
 
 def _unit_block_n(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     """(samples per program, T-block) for the forward grid."""
-    return _pick_blocks(n, t, _FWD_ROW_BYTES_CAP, _packed_row_bytes(c, s))
+    return _pick_blocks(
+        n, t, _FWD_BLOCK_BYTES_CAP, _padded_sample_row_bytes(v, c, s)
+    )
 
 
 def _unit_bwd_blocks(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     """(samples per program, T-block) for the backward grid. BT must divide
     T exactly (a padded tail block would feed garbage frames into the dmd
     accumulation) — _pick_blocks only returns divisors."""
-    return _pick_blocks(n, t, _BWD_ROW_BYTES_CAP, _packed_row_bytes(c, s))
+    return _pick_blocks(
+        n, t, _BWD_BLOCK_BYTES_CAP, _padded_sample_row_bytes(v, c, s)
+    )
 
 
 def _gather_diag(As, transpose: bool):
