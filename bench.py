@@ -71,11 +71,12 @@ def bench_kernel(n=64, t=52, v=20, c=64, r=8, s=3):
     return edges / dt_pallas, dt_xla / dt_pallas
 
 
-def bench_train_step(batch=64, dtype=None):
+def bench_train_step(batch=64, dtype=None, ntu=False):
     import jax
     import jax.numpy as jnp
 
     from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.models.ctrgcn import CTRGCN
     from tamgcn_tpu.parallel.mesh import make_mesh
     from tamgcn_tpu.parallel.sharded import (
         init_sharded_state,
@@ -83,13 +84,22 @@ def bench_train_step(batch=64, dtype=None):
     )
     from tamgcn_tpu.train.optim import make_optimizer
 
-    # auto dispatch: Pallas where it wins (C >= 128), XLA fusion elsewhere
-    model = create_ctrgcn_nucla(use_pallas=None, dtype=dtype)
+    if ntu:
+        # NTU RGB+D 60 stretch config: 25 joints, T=64, 2 persons
+        model = CTRGCN(num_class=60, num_point=25, num_person=2,
+                       graph="ntu_rgb_d", use_pallas=None, dtype=dtype)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(batch, 3, 64, 25, 2), jnp.float32
+        )
+        labels = jnp.asarray(np.arange(batch) % 60, jnp.int32)
+    else:
+        # auto dispatch: Pallas where it wins (C >= 128), XLA elsewhere
+        model = create_ctrgcn_nucla(use_pallas=None, dtype=dtype)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
+        )
+        labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
     mesh = make_mesh()
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
-    )
-    labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
     tx = make_optimizer("SGD", 0.1, steps_per_epoch=50, step=[50])
     state = init_sharded_state(model, tx, mesh, x, jax.random.PRNGKey(0))
     # packed state: the jitted step's I/O is a handful of buffers, not the
@@ -103,6 +113,8 @@ def bench_train_step(batch=64, dtype=None):
     with mesh:
         dt = time_step_chained(step, flat, (x, labels, rng), iters=30)
     tag = f"dtype={jnp.dtype(dtype).name}" if dtype is not None else "f32"
+    if ntu:
+        tag = "NTU-60 V=25 T=64 M=2, " + tag
     log(f"train step ({tag}): {dt*1e3:.2f} ms/step, "
         f"{batch/dt:.1f} samples/s (batch {batch})")
     return batch / dt
@@ -127,6 +139,7 @@ def main():
 
         bf16 = bench_train_step(dtype=jnp.bfloat16)
         log(f"train throughput (bf16 mixed precision): {bf16:.1f} samples/s")
+        bench_train_step(batch=32, ntu=True)  # NTU-60 stretch config
     except Exception as e:  # keep the primary metric even if train bench dies
         log(f"train bench failed: {e}")
     print(
