@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.norm import BatchNorm
+
 from ..graphs import get_graph
 from ..ops import ctr_gc_fused
 from ..ops.aggregation import unit_ctr_gc
@@ -158,7 +160,7 @@ class UnitGCN(nn.Module):
             x1s, x2s, x3s, w4s, b4s, alpha, A, use_pallas=self.use_pallas
         )
         # bn_init(self.bn, 1e-6): near-zero scale at init (reference :240)
-        y = nn.BatchNorm(
+        y = BatchNorm(
             use_running_average=not train,
             scale_init=nn.initializers.constant(1e-6),
             dtype=self.dtype,
@@ -176,7 +178,7 @@ class UnitGCN(nn.Module):
                     dtype=self.dtype,
                     name="down_conv",
                 )(x)
-                res = nn.BatchNorm(
+                res = BatchNorm(
                     use_running_average=not train, dtype=self.dtype, **BN,
                     name="down_bn",
                 )(res)
@@ -195,7 +197,7 @@ class UnitGCN(nn.Module):
             dtype=self.dtype,
             name="offset_conv",
         )(diff)
-        offset = nn.BatchNorm(
+        offset = BatchNorm(
             use_running_average=not train, dtype=self.dtype, **BN,
             name="offset_bn",
         )(offset)
@@ -228,7 +230,7 @@ class TemporalConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.BatchNorm(
+        return BatchNorm(
             use_running_average=not train,
             scale_init=self.bn_scale_init,
             dtype=self.dtype,
@@ -287,7 +289,7 @@ class MultiScaleTCN(nn.Module):
             dtype=self.dtype,
             name="prefix_conv",
         )(x)
-        prefix = nn.BatchNorm(
+        prefix = BatchNorm(
             use_running_average=not train,
             scale_init=_bn_weights_init,
             dtype=self.dtype,
@@ -336,7 +338,7 @@ class MultiScaleTCN(nn.Module):
         outs.append(b)
 
         out = jnp.concatenate(outs, axis=-1)
-        out = nn.BatchNorm(
+        out = BatchNorm(
             use_running_average=not train,
             scale_init=_bn_weights_init,
             dtype=self.dtype,
@@ -381,7 +383,7 @@ class UnitTCN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.BatchNorm(
+        return BatchNorm(
             use_running_average=not train, dtype=self.dtype, **BN, name="bn"
         )(x)
 
@@ -492,7 +494,7 @@ class CTRGCN(nn.Module):
         self.l9 = block(bc * 4, bc * 4)
         self.l10 = block(bc * 4, bc * 4)
 
-        self.data_bn = nn.BatchNorm(dtype=self.dtype, **BN)
+        self.data_bn = BatchNorm(dtype=self.dtype, **BN)
         self.fc = nn.Dense(
             self.num_class,
             kernel_init=fc_init(self.num_class),
@@ -535,7 +537,10 @@ class CTRGCN(nn.Module):
         if self.dropout is not None:
             h = self.dropout(h, deterministic=not train)
         # logits in f32: the loss/softmax should not run in bf16
-        return self.fc(h).astype(jnp.float32)
+        # promote (not cast) so bf16 logits widen to f32 for the loss while
+        # f64 equivalence runs stay f64 end-to-end
+        h = self.fc(h)
+        return h.astype(jnp.promote_types(h.dtype, jnp.float32))
 
     def extract_feature(self, x: jax.Array, *, train: bool = False):
         """Pre-pool features (N, C', T', V, M) — reference models/ctrgcn.py:350-374.

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.norm import BatchNorm
+
 from ..ops.inits import kaiming_normal_fan_out
 
 BN = {"momentum": 0.9, "epsilon": 1e-5}
@@ -71,7 +73,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         def bn(name):
-            return nn.BatchNorm(
+            return BatchNorm(
                 use_running_average=not train, dtype=self.dtype, **BN, name=name
             )
 
@@ -112,7 +114,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         def bn(name):
-            return nn.BatchNorm(
+            return BatchNorm(
                 use_running_average=not train, dtype=self.dtype, **BN, name=name
             )
 
@@ -171,7 +173,7 @@ class ResNet(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )
-        self.stem_bn = nn.BatchNorm(dtype=self.dtype, **BN, name="bn1")
+        self.stem_bn = BatchNorm(dtype=self.dtype, **BN, name="bn1")
         blocks = []
         inplanes = 64
         for li, (planes, n, stride) in enumerate(
@@ -234,7 +236,9 @@ class ResNet(nn.Module):
         h = self.features(x, train=train)
         h = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + flatten
         # logits in f32: the loss/softmax should not run in bf16
-        return self.fc(h).astype(jnp.float32)
+        # promote (not cast): bf16 -> f32 for the loss, f64 stays f64
+        h = self.fc(h)
+        return h.astype(jnp.promote_types(h.dtype, jnp.float32))
 
 
 def resnet18(**kw):

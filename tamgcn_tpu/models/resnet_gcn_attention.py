@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.norm import BatchNorm
+
 from .ctrgcn import CTRGCN
 from .resnet import BN, resnet50
 
@@ -59,7 +61,7 @@ class ResNetGCNAttention(nn.Module):
         self.resnet = resnet50(in_channels=self.in_channels_rgb)
         gcn_dim, rgb_dim = 256, 2048
         self.att_dense1 = nn.Dense(rgb_dim // 2, name="attention_transform_dense1")
-        self.att_bn = nn.BatchNorm(**BN, name="attention_transform_bn")
+        self.att_bn = BatchNorm(**BN, name="attention_transform_bn")
         self.att_dense2 = nn.Dense(rgb_dim, name="attention_transform_dense2")
         self.classifier = nn.Dense(self.num_class, name="classifier")
 

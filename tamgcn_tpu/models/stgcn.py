@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.norm import BatchNorm
+
 from ..graphs import get_graph
 from ..ops import stgcn_aggregate
 
@@ -73,6 +75,10 @@ class ConvTemporalGraphical(nn.Module):
     t_padding: int = 0
     t_dilation: int = 1
     dtype: Any = None
+    # aggregation override: (h (N,T,V,K,C), A (K,V,W)) -> (N,T,W,C);
+    # None = the dense XLA einsum (ops.stgcn_aggregate). The edge-partitioned
+    # ring (parallel/graph_parallel.ring_aggregate_stgcn) plugs in here.
+    aggregate: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, A: jax.Array) -> jax.Array:
@@ -91,7 +97,7 @@ class ConvTemporalGraphical(nn.Module):
         )(x)
         n, t, v, kc = h.shape
         h = h.reshape(n, t, v, self.kernel_size, kc // self.kernel_size)
-        return stgcn_aggregate(h, A)
+        return (self.aggregate or stgcn_aggregate)(h, A)
 
 
 class STGCNBlock(nn.Module):
@@ -104,6 +110,7 @@ class STGCNBlock(nn.Module):
     dropout: float = 0.0
     residual: bool = True
     dtype: Any = None
+    aggregate: Any = None  # see ConvTemporalGraphical.aggregate
 
     @nn.compact
     def __call__(self, x: jax.Array, A: jax.Array, *, train: bool) -> jax.Array:
@@ -124,17 +131,17 @@ class STGCNBlock(nn.Module):
                 dtype=self.dtype,
                 name="res_conv",
             )(x)
-            res = nn.BatchNorm(
+            res = BatchNorm(
                 use_running_average=not train, dtype=self.dtype, **BN,
                 name="res_bn",
             )(res)
 
         h = ConvTemporalGraphical(
             self.in_channels, self.out_channels, self.kernel_size[1],
-            dtype=self.dtype, name="gcn",
+            dtype=self.dtype, aggregate=self.aggregate, name="gcn",
         )(x, A)
         # tcn: BN -> ReLU -> (k,1) conv -> BN -> Dropout (reference :76-82)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, dtype=self.dtype, **BN,
             name="tcn_bn1",
         )(h)
@@ -148,7 +155,7 @@ class STGCNBlock(nn.Module):
             dtype=self.dtype,
             name="tcn_conv",
         )(h)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, dtype=self.dtype, **BN,
             name="tcn_bn2",
         )(h)
@@ -177,6 +184,13 @@ class STGCN(nn.Module):
     dropout: float = 0.0
     block_dropout: float = 0.0  # reference **kwargs dropout forwarded to st_gcn
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
+    # edge-partitioned graph parallelism: "ring" shards the joint axis over
+    # the mesh's 'model' axis and pipelines the boundary-feature exchange
+    # against local aggregation (parallel/graph_parallel.ring_aggregate_stgcn,
+    # the scaling mechanism named in BASELINE.json). Requires `mesh` with
+    # model-axis size dividing num_point; "none" = dense XLA einsum.
+    graph_partition: str = "none"
+    mesh: Any = None
 
     def setup(self):
         if self.graph is None:
@@ -203,9 +217,28 @@ class STGCN(nn.Module):
             (256, 256, 1, True),
             (256, 256, 1, True),
         ]
+        if self.graph_partition == "ring":
+            if self.mesh is None:
+                raise ValueError("graph_partition='ring' requires a mesh")
+            from functools import partial
+
+            from ..parallel.graph_parallel import ring_aggregate_stgcn
+
+            k = self.mesh.shape["model"]
+            if self.num_point % k:
+                raise ValueError(
+                    f"num_point={self.num_point} not divisible by the "
+                    f"model mesh axis ({k}) for graph_partition='ring'"
+                )
+            aggregate = partial(ring_aggregate_stgcn, mesh=self.mesh)
+        elif self.graph_partition in ("none", None):
+            aggregate = None
+        else:
+            raise ValueError(f"unknown graph_partition {self.graph_partition!r}")
+
         self.blocks = [
             STGCNBlock(i, o, ks, s, dropout=self.block_dropout, residual=r,
-                       dtype=self.dtype)
+                       dtype=self.dtype, aggregate=aggregate)
             for (i, o, s, r) in cfg
         ]
         if self.edge_importance_weighting:
@@ -216,7 +249,7 @@ class STGCN(nn.Module):
         else:
             self.edge_importance = [1.0] * len(cfg)
 
-        self.data_bn = nn.BatchNorm(dtype=self.dtype, **BN)
+        self.data_bn = BatchNorm(dtype=self.dtype, **BN)
         # head: 1x1 conv == Dense on pooled features (reference :163)
         self.fcn = nn.Dense(
             self.num_class,
@@ -259,7 +292,9 @@ class STGCN(nn.Module):
         if self.drop is not None:
             h = self.drop(h, deterministic=not train)
         # logits in f32: the loss/softmax should not run in bf16
-        return self.fcn(h).astype(jnp.float32)
+        # promote (not cast): bf16 -> f32 for the loss, f64 stays f64
+        h = self.fcn(h)
+        return h.astype(jnp.promote_types(h.dtype, jnp.float32))
 
     def extract_feature(self, x: jax.Array, *, train: bool = False):
         """(output, feature) pre-pool maps — reference models/stgcn.py:200-225."""

@@ -35,7 +35,10 @@ def ctr_gc_dynamic_adjacency(
     the SDDMM-shaped op; the w4 contraction is an MXU matmul over R.
     """
     d = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])  # (N, U, V, R)
-    m = jnp.einsum("nuvr,rc->nuvc", d, w4, preferred_element_type=jnp.float32)
+    m = jnp.einsum(
+        "nuvr,rc->nuvc", d, w4,
+        preferred_element_type=jnp.promote_types(d.dtype, jnp.float32),
+    )
     if b4 is not None:
         m = m + b4
     return m * alpha + A[None, :, :, None]
@@ -47,7 +50,10 @@ def ctr_gc_aggregate(m: jax.Array, x3: jax.Array) -> jax.Array:
     The per-channel V x V batched "SpMM" of reference models/ctrgcn.py:176
     ('ncuv,nctv->nctu'), in NTVC layout.
     """
-    return jnp.einsum("nuvc,ntvc->ntuc", m, x3, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "nuvc,ntvc->ntuc", m, x3,
+        preferred_element_type=jnp.promote_types(x3.dtype, jnp.float32),
+    )
 
 
 def ctr_gc_fused_xla(
@@ -71,7 +77,10 @@ def stgcn_aggregate(x: jax.Array, A: jax.Array) -> jax.Array:
     ('nkctv,kvw->nctw'), in NTVC layout with the partition axis k packed
     next to channels.
     """
-    return jnp.einsum("ntvkc,kvw->ntwc", x, A, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "ntvkc,kvw->ntwc", x, A,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+    )
 
 
 def unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As):

@@ -48,7 +48,11 @@ class _TreeBuilder:
         node = tree
         for k in keys[:-1]:
             node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value, np.float32)
+        v = np.asarray(value)
+        # float64 passes through untouched so the f64 training-equivalence
+        # harness (tests/test_train_equivalence.py) round-trips exactly;
+        # everything else (f32 checkpoints, torch int64 counters) lands in f32
+        node[keys[-1]] = v if v.dtype == np.float64 else v.astype(np.float32)
 
     def conv(self, sd: Mapping, tname: str, fpath: str, bias: bool = True):
         self._set(self.params, f"{fpath}/kernel", _conv_w(sd[f"{tname}.weight"]))
