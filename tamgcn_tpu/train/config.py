@@ -117,6 +117,12 @@ def base_parser(add_help: bool = False) -> argparse.ArgumentParser:
                    help="mesh 'data' axis size; -1 = all local devices")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="mesh 'model' axis size")
+    p.add_argument("--graph_partition", default="none",
+                   choices=["none", "ring"],
+                   help="'ring': edge-partition the joint axis over the "
+                        "'model' mesh axis with pipelined ppermute "
+                        "aggregation (ST-GCN; requires model_parallel > 1 "
+                        "dividing num_point)")
     p.add_argument("--use_pallas", type=str2bool, default=None,
                    help="force Pallas kernels on/off (default: auto by backend)")
     p.add_argument("--profile_dir", default=None,

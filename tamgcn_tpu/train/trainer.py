@@ -111,6 +111,11 @@ class RecognitionTrainer:
         model_args = dict(arg.model_args)
         if arg.use_pallas is not None:
             model_args.setdefault("use_pallas", arg.use_pallas)
+        if getattr(arg, "graph_partition", "none") != "none":
+            # edge-partitioned graph parallelism over the mesh's model axis
+            # (parallel/graph_parallel.py); the model shards its joint axis
+            model_args.setdefault("graph_partition", arg.graph_partition)
+            model_args.setdefault("mesh", self.mesh)
         self.model = get_model(arg.model, **model_args)
 
         sample = self._example_batch()
@@ -147,9 +152,15 @@ class RecognitionTrainer:
             new_params, new_stats = variables["params"], variables["batch_stats"]
         else:
             ckptr = Checkpointer(arg.weights)
+            # checkpoints carry {params, batch_stats, step}; step is the
+            # resume counter and irrelevant for a weight load
             tree = ckptr.restore(
                 "best" if ckptr.exists("best") else f"epoch{ckptr.latest_epoch()}",
-                target={"params": params, "batch_stats": batch_stats},
+                target={
+                    "params": params,
+                    "batch_stats": batch_stats,
+                    "step": np.zeros((), np.int32),
+                },
             )
             new_params, new_stats = tree["params"], tree["batch_stats"]
         new_params = filter_ignore(new_params, arg.ignore_weights)
@@ -221,28 +232,103 @@ class RecognitionTrainer:
             )
             return loss, logits
 
-        # Fused train step (train/packing.py): the state crosses the jit
-        # boundary as flat buffers and the optimiser runs in flat space.
-        # Unpacked, the step's I/O is ~2900 buffers and the SGD chain
-        # compiles to several HLO ops per param leaf — measured 80 ms/step
-        # vs ~4 ms fused on the tunneled v5e at batch 64.
-        train_step, pstate0, self._unravel_params, self._unravel_stats = (
-            make_fused_train_step(
-                lambda p, s, ins, lab, rng: loss_fn(p, s, ins, lab, rng, True),
-                self.tx,
-                self.state.params,
-                self.state.batch_stats,
-                freeze_mask=self._freeze_mask,
+        # Two step implementations share this ONE loss_fn (no semantic fork):
+        #   * model_parallel == 1 — the fused/packed step (train/packing.py):
+        #     the state crosses the jit boundary as flat buffers and the
+        #     optimiser runs in flat space. Unpacked, the step's I/O is
+        #     ~2900 buffers and the SGD chain compiles to several HLO ops
+        #     per param leaf — measured 80 ms/step vs ~4 ms fused on the
+        #     tunneled v5e at batch 64.
+        #   * model_parallel > 1 — the flat buffer carries a single sharding
+        #     and cannot express per-param TP layouts, so the trainer
+        #     auto-selects the unpacked pytree step with the
+        #     DEFAULT_TP_RULES NamedShardings (parallel/sharded.py).
+        self._tp = self.mesh.shape["model"] > 1
+        if self._tp:
+            self._build_tp_step(loss_fn)
+        else:
+            train_step, pstate0, self._unravel_params, self._unravel_stats = (
+                make_fused_train_step(
+                    lambda p, s, ins, lab, rng: loss_fn(p, s, ins, lab, rng, True),
+                    self.tx,
+                    self.state.params,
+                    self.state.batch_stats,
+                    freeze_mask=self._freeze_mask,
+                )
             )
-        )
-        self.pstate = pstate0
-        if self.mesh.size > 1:
-            self.pstate = jax.device_put(self.pstate, replicated(self.mesh))
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+            self.pstate = pstate0
+            if self.mesh.size > 1:
+                self.pstate = jax.device_put(self.pstate, replicated(self.mesh))
+            self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
 
+    def _build_tp_step(self, loss_fn):
+        """Tensor-parallel train step: unpacked pytree state, per-param
+        NamedShardings from DEFAULT_TP_RULES (fc head / attention MLP over
+        the 'model' axis), GSPMD collectives over ICI."""
+        from ..parallel.sharded import DEFAULT_TP_RULES, param_shardings
+
+        tx = self.tx
+        frozen = tuple(self.arg.freeze_params or ())
+
+        def train_step(state: TrainState, inputs, label, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+
+            def lf(params):
+                return loss_fn(
+                    params, state.batch_stats, inputs, label, dropout_rng, True
+                )
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            if frozen:
+                # zero updates (incl. weight decay) for frozen prefixes —
+                # same semantics as the packed path's freeze_mask
+                updates = jax.tree_util.tree_map_with_path(
+                    lambda p, u: (
+                        jnp.zeros_like(u)
+                        if "/".join(str(k.key) for k in p).startswith(frozen)
+                        else u
+                    ),
+                    updates,
+                )
+            new_params = optax.apply_updates(state.params, updates)
+            acc = (logits.argmax(-1) == label).mean()
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                loss,
+                acc,
+            )
+
+        self._p_shard = param_shardings(
+            self.mesh, self._init_params, DEFAULT_TP_RULES
+        )
+        self._s_shard = param_shardings(self.mesh, self._init_batch_stats)
+        params = jax.device_put(self._init_params, self._p_shard)
+        stats = jax.device_put(self._init_batch_stats, self._s_shard)
+        with self.mesh:
+            opt_state = jax.jit(self.tx.init)(params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=stats,
+            opt_state=opt_state,
+        )
+        self.pstate = self.state
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+
     def _sync_state(self):
-        """Materialise the pytree view (self.state) from the packed state."""
+        """Materialise the pytree view (self.state) from the step state."""
+        if self._tp:
+            self.state = self.pstate
+            return
         self.state = TrainState(
             step=self.pstate.step,
             params=self._unravel_params(self.pstate.flat_params),
@@ -251,7 +337,22 @@ class RecognitionTrainer:
         )
 
     def _repack_state(self):
-        """Push self.state (after weight load / resume) into the packed state."""
+        """Push self.state (after weight load / resume) into the step state."""
+        if self._tp:
+            # re-apply the TP shardings to host-restored trees; a restored
+            # opt_state enters replicated and GSPMD re-shards it on the
+            # first step
+            self.pstate = self.state = self.state.replace(
+                step=jnp.asarray(self.state.step, jnp.int32),
+                params=jax.device_put(self.state.params, self._p_shard),
+                batch_stats=jax.device_put(self.state.batch_stats, self._s_shard),
+                opt_state=(
+                    self.state.opt_state
+                    if self.state.opt_state is not None
+                    else self.pstate.opt_state
+                ),
+            )
+            return
         from ..train.packing import _ravel_padded
 
         self.pstate = self.pstate.replace(
@@ -318,13 +419,20 @@ class RecognitionTrainer:
         def put(batch):
             inputs, label = batch[:-2], batch[-2]
             n = label.shape[0]
-            # pad the tail batch to a mesh-divisible size
+            # pad the tail batch to a mesh-divisible size by tiling (np.resize
+            # wraps, so this works even when pad > n, e.g. a 3-sample tail on
+            # an 8-device mesh)
             pad = (-n) % self.mesh.size
             if pad:
                 inputs = tuple(
-                    np.concatenate([a, a[:pad]], axis=0) for a in inputs
+                    np.concatenate(
+                        [a, np.resize(a, (pad,) + a.shape[1:])], axis=0
+                    )
+                    for a in inputs
                 )
-                label = np.concatenate([label, label[:pad]], axis=0)
+                label = np.concatenate(
+                    [label, np.resize(label, (pad,))], axis=0
+                )
             sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
             return sharded[:-1], sharded[-1], n, np.asarray(batch[-2])
 
@@ -339,10 +447,19 @@ class RecognitionTrainer:
         scores = np.concatenate(jax.device_get(scores))
         labels = np.concatenate(labels)
         mean_loss = float(np.mean(losses))
-        pred = scores.argmax(axis=1)
-        top1 = float((pred == labels).mean())
         rank = scores.argsort(axis=1)
-        top5 = float(np.mean([l in rank[i, -5:] for i, l in enumerate(labels)]))
+
+        def topk(k: int) -> float:
+            return float(
+                np.mean([l in rank[i, -k:] for i, l in enumerate(labels)])
+            )
+
+        # honour --show_topk (reference processor prints every requested k);
+        # top-1/top-5 keep their structural roles (best-model policy, CSV)
+        for k in getattr(self.arg, "show_topk", [1, 5]):
+            self.print_log(f"\tTop{k}: {topk(k):.2%}")
+        top1 = topk(1)
+        top5 = topk(5)
         self.result_scores = scores
         self.result_labels = labels
         return mean_loss, top1, top5

@@ -55,7 +55,7 @@ def test_end_to_end_smoke_training(tmp_path):
 
     work = str(tmp_path / "smoke")
     arg = load_config(
-        ["-c", "configs/nucla/smoke.yaml", "-w", work, "--num_epoch", "3"]
+        ["-c", "configs/nucla/smoke.yaml", "-w", work, "--num_epoch", "5"]
     )
     trainer = RecognitionTrainer(arg)
     trainer.start()
@@ -69,18 +69,18 @@ def test_end_to_end_smoke_training(tmp_path):
     )
     train_losses = progress[:, 0]
     assert train_losses[-1] < train_losses[0], "loss did not decrease"
-    # best-so-far eval accuracy: the LAST epoch's eval is seed-sensitive on
-    # 3 epochs of synthetic data (it dips below chance on some inits even
+    # best-so-far eval accuracy: any SINGLE epoch's eval is seed-sensitive
+    # on this little synthetic data (it dips below chance on some inits even
     # while the loss curve falls), so gate on the best checkpointed eval
     top1 = progress[:, 2].max()
     assert top1 > 0.15, f"best accuracy {top1} not above 10-class chance"
     # best checkpoint exists and resume restores it
     assert trainer.ckpt.exists("best")
-    assert trainer.ckpt.latest_epoch() == 3
+    assert trainer.ckpt.latest_epoch() == 5
 
     trainer2 = RecognitionTrainer(arg)
     nxt = trainer2.resume()
-    assert nxt == 3
+    assert nxt == 5
     # optimiser state (momentum buffers) resumes exactly, not re-initialised
     import jax
 
@@ -96,14 +96,14 @@ def test_end_to_end_smoke_training(tmp_path):
     # --resume true: auto-restores the latest checkpoint; with num_epoch
     # already reached, the train loop is a no-op (crash recovery semantics)
     arg3 = load_config(
-        ["-c", "configs/nucla/smoke.yaml", "-w", work, "--num_epoch", "3",
+        ["-c", "configs/nucla/smoke.yaml", "-w", work, "--num_epoch", "5",
          "--resume", "true"]
     )
     trainer3 = RecognitionTrainer(arg3)
     trainer3.start()
     log3 = open(os.path.join(work, "log.txt")).read()
-    assert "resumed from epoch3" in log3
-    assert "Training epoch: 4" not in log3
+    assert "resumed from epoch5" in log3
+    assert "Training epoch: 6" not in log3
     loss2, t1_2, _ = trainer2.test_epoch()
     loss1, t1_1, _ = trainer.test_epoch()
     assert t1_2 == pytest.approx(t1_1)
@@ -120,3 +120,61 @@ def test_test_phase_requires_weights(tmp_path):
     trainer = RecognitionTrainer(arg)
     with pytest.raises(ValueError, match="appoint --weights"):
         trainer.start()
+
+
+@pytest.mark.slow
+def test_eval_tail_batch_smaller_than_pad(tmp_path):
+    """Regression: a final eval batch with n < pad (3 samples on the
+    8-device mesh needs pad=5) must still shard; padding tiles the batch
+    (np.resize wraps) instead of slicing a too-short prefix."""
+    from tamgcn_tpu.train.trainer import RecognitionTrainer
+
+    arg = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", str(tmp_path / "tail"),
+         "--test_feeder_args", "num_samples=11", "--test_batch_size", "8"]
+    )
+    trainer = RecognitionTrainer(arg)
+    assert trainer.mesh.size == 8  # the premise: pad 3 -> 8 needs 5 > 3
+    loss, top1, top5 = trainer.test_epoch()
+    # all 11 real samples scored exactly once, none of the pad rows leak
+    assert trainer.result_scores.shape == (11, 10)
+    assert trainer.result_labels.shape == (11,)
+    assert np.isfinite(loss) and 0.0 <= top1 <= top5 <= 1.0
+
+
+@pytest.mark.slow
+def test_model_parallel_reachable_from_trainer(tmp_path):
+    """--model_parallel 2 must actually shard the classifier head during
+    real training (VERDICT: the packed step is replication-only, so the
+    trainer auto-selects the unpacked TP step)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tamgcn_tpu.train.trainer import RecognitionTrainer
+
+    arg = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", str(tmp_path / "tp"),
+         "--num_epoch", "1", "--data_parallel", "4", "--model_parallel", "2"]
+    )
+    trainer = RecognitionTrainer(arg)
+    assert trainer._tp
+    trainer.start()
+
+    trainer._sync_state()
+    fck = trainer.state.params["fc"]["kernel"]
+    # the head is genuinely TP-sharded: spec names the model axis and the
+    # per-device shard is half the logical array
+    assert fck.sharding.spec == P(None, "model")
+    shard_cols = {s.data.shape[1] for s in fck.addressable_shards}
+    assert shard_cols == {fck.shape[1] // 2}
+    # training ran and produced finite numbers
+    progress = np.loadtxt(
+        os.path.join(str(tmp_path / "tp"), "progress_info.csv"), delimiter=","
+    )
+    assert np.isfinite(progress).all()
+    # momentum buffers share the TP sharding (no replicated fork of the head)
+    mom_leaves = [
+        l for l in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(l, "sharding") and getattr(l, "shape", None) == fck.shape
+    ]
+    assert any(l.sharding.spec == P(None, "model") for l in mom_leaves)
