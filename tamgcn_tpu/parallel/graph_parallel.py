@@ -101,6 +101,83 @@ def ring_aggregate(
     return run(x, A)
 
 
+def _ring_body_stgcn(s, carry, *, axis_name, k):
+    """One ring step of the K-partition aggregation (see ring_aggregate_stgcn)."""
+    acc, block, at_rows = carry
+    me = jax.lax.axis_index(axis_name)
+    src = (me - s) % k
+    vb = block.shape[-3]
+    # at_rows: (K, W_local, V) — slice the source chip's joint columns
+    a_blk = jax.lax.dynamic_slice_in_dim(at_rows, src * vb, vb, axis=2)
+    # acc[..., u, c] += sum_{p, v} a_blk[p, u, v] * block[..., v, p, c]
+    acc = acc + jnp.einsum(
+        "puv,...vpc->...uc", a_blk, block,
+        preferred_element_type=jnp.float32,
+    )
+    block = jax.lax.ppermute(
+        block, axis_name, [(i, (i + 1) % k) for i in range(k)]
+    )
+    return acc, block, at_rows
+
+
+def ring_aggregate_stgcn(
+    x: jax.Array,
+    A: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "model",
+    data_axis: str | None = "data",
+) -> jax.Array:
+    """Edge-partitioned ST-GCN aggregation `out[..., w, c] = sum_{k,v}
+    x[..., v, k, c] * A[k, v, w]` (ops.stgcn_aggregate) with the joint axis
+    sharded over `axis_name`.
+
+    x: (N, T, V, K, C); A: (K, V, W) stacked partition adjacencies. The ring
+    pipelines the all-to-all joint-feature exchange (lax.ppermute) against the
+    local partial aggregation, exactly like `ring_aggregate`, with the
+    partition axis K contracted inside each local einsum. The leading batch
+    axis keeps its `data_axis` (DP) sharding, so this composes with the
+    data-parallel train step; with axis size 1 it degrades to the plain
+    einsum. Counterpart of reference models/stgcn.py:62 at pod scale.
+    """
+    k = mesh.shape[axis_name]
+    if k == 1:
+        return jnp.einsum(
+            "ntvpc,pvw->ntwc", x, A,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        ).astype(x.dtype)
+    V = x.shape[-3]
+    if V % k:
+        raise ValueError(f"joint axis {V} not divisible by mesh axis {k}")
+    if data_axis is not None and mesh.shape.get(data_axis, 1) == 1:
+        data_axis = None
+
+    xspec = P(data_axis, *([None] * (x.ndim - 4)), axis_name, None, None)
+    ospec = P(data_axis, *([None] * (x.ndim - 4)), axis_name, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(xspec, P(None, axis_name, None)),
+        out_specs=ospec,
+        check_rep=False,
+    )
+    def run(x_local, at_rows):
+        # x_local: (..., V/k, K, C) — this chip's joints (+ its DP batch shard)
+        # at_rows: (K, W/k, V)     — A^T rows of this chip's OUT joints
+        acc = jnp.zeros(
+            x_local.shape[:-3] + at_rows.shape[1:2] + x_local.shape[-1:],
+            jnp.float32,
+        )
+        acc, _, _ = jax.lax.fori_loop(
+            0, k,
+            partial(_ring_body_stgcn, axis_name=axis_name, k=k),
+            (acc, x_local, at_rows),
+        )
+        return acc.astype(x_local.dtype)
+
+    return run(x, jnp.swapaxes(A, -1, -2))
+
+
 def shard_joints(mesh: Mesh, x: jax.Array, axis_name: str = "model"):
     """Place (..., V, C) with the joint axis sharded over `axis_name`."""
     spec = P(*([None] * (x.ndim - 2)), axis_name, None)

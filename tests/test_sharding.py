@@ -123,3 +123,77 @@ def test_ring_aggregate_rejects_indivisible():
     x = jnp.zeros((2, 3, 10, 8), jnp.float32)  # V=10 % 4 != 0
     with pytest.raises(ValueError):
         ring_aggregate(x, jnp.eye(10), mesh)
+
+
+def test_ring_aggregate_stgcn_matches_einsum():
+    """K-partition ring aggregation == stgcn_aggregate, composed with DP:
+    batch sharded over 'data' while joints ring over 'model'."""
+    from jax.sharding import Mesh
+    from tamgcn_tpu.ops import stgcn_aggregate
+    from tamgcn_tpu.parallel.graph_parallel import ring_aggregate_stgcn
+
+    rs = np.random.RandomState(7)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    N, T, V, K, C = 4, 6, 20, 3, 16
+    x = jnp.asarray(rs.randn(N, T, V, K, C), jnp.float32)
+    A = jnp.asarray(rs.rand(K, V, V), jnp.float32)
+    want = np.asarray(stgcn_aggregate(x, A))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "model")))
+    got = jax.jit(lambda xx, aa: ring_aggregate_stgcn(xx, aa, mesh))(xs, A)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    # degenerate model-axis size 1
+    mesh1 = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+    got1 = ring_aggregate_stgcn(x, A, mesh1)
+    np.testing.assert_allclose(np.asarray(got1), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_stgcn_ring_train_step_matches_dense():
+    """A full STGCN train step with graph_partition='ring' (dp=2 x model=4)
+    equals the dense-aggregation step: same loss, same updated params."""
+    from tamgcn_tpu.models import create_stgcn_nucla
+    from tamgcn_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from tamgcn_tpu.parallel.sharded import (
+        SharedTrainState, make_train_step,
+    )
+    from tamgcn_tpu.train.optim import make_optimizer
+
+    mesh = make_mesh(2, 4)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(4, 3, 16, 20, 1), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    tx = make_optimizer("SGD", 0.01, steps_per_epoch=10)
+
+    dense = create_stgcn_nucla()
+    ring = create_stgcn_nucla(graph_partition="ring", mesh=mesh)
+    variables = dense.init(jax.random.PRNGKey(0), x, train=False)
+
+    def one_step(model, sharded):
+        state = SharedTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        step = jax.jit(make_train_step(model, tx))
+        if sharded:
+            state = jax.device_put(state, replicated(mesh))
+            xs = jax.device_put(x, batch_sharding(mesh))
+            ls = jax.device_put(labels, batch_sharding(mesh))
+            with mesh:
+                state, loss, _ = step(state, xs, ls, jax.random.PRNGKey(1))
+        else:
+            state, loss, _ = step(state, x, labels, jax.random.PRNGKey(1))
+        return float(loss), state
+
+    loss_d, state_d = one_step(dense, sharded=False)
+    loss_r, state_r = one_step(ring, sharded=True)
+    assert loss_r == pytest.approx(loss_d, rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_d.params),
+        jax.tree_util.tree_leaves(state_r.params),
+    ):
+        # ring vs dense differ only in f32 accumulation order (~1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+        )
