@@ -75,3 +75,49 @@ def test_softmax_rows_sum_to_one():
     x = np.random.RandomState(1).randn(5, 10) * 100
     s = softmax(x)
     np.testing.assert_allclose(s.sum(axis=1), 1.0, rtol=1e-6)
+
+
+def test_plot_confusion_matrix(tmp_path):
+    from tamgcn_tpu.viz import plot_confusion_matrix
+
+    rs = np.random.RandomState(0)
+    scores = rs.randn(40, 10)
+    labels = rs.randint(0, 10, 40)
+    out = plot_confusion_matrix(
+        scores, labels, "t", str(tmp_path / "cm.png")
+    )
+    assert os.path.getsize(out) > 10_000  # a real rendered PNG
+
+
+@pytest.mark.slow
+def test_online_ensemble_eval_one_command(tmp_path):
+    """The reference's one-command dual-model inference driver
+    (ensemble_ctrgcn_resnet_eval.py:298-474): checkpoints in -> per-model +
+    fused + sweep report and confusion-matrix PNGs out."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.ensemble_online_eval import main as ensemble_main
+
+    from tamgcn_tpu.train.config import load_config
+    from tamgcn_tpu.train.trainer import RecognitionTrainer
+
+    # train one tiny checkpoint on synthetic data
+    work = str(tmp_path / "train")
+    arg = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", work,
+         "--num_epoch", "1", "--save_interval", "1"]
+    )
+    RecognitionTrainer(arg).start()
+    ckpt = os.path.join(work, "checkpoints")
+
+    out_dir = str(tmp_path / "ens")
+    rc = ensemble_main([
+        "--config_a", "configs/nucla/smoke.yaml", "--weights_a", ckpt,
+        "--config_b", "configs/nucla/smoke.yaml", "--weights_b", ckpt,
+        "--alpha", "1.0", "--out_dir", out_dir,
+    ])
+    assert rc == 0
+    for f in ("confusion_matrix_model_a.png", "confusion_matrix_model_b.png",
+              "confusion_matrix_alpha_1.0.png"):
+        assert os.path.getsize(os.path.join(out_dir, f)) > 10_000, f
