@@ -60,15 +60,24 @@ def bench_kernel(n=64, t=52, v=20, c=64, r=8, s=3):
     def feed_pallas(out, a):
         return a[:2] + (jnp.concatenate([out] * s, -1),) + a[3:]
 
+    from tamgcn_tpu.utils.roofline import unit_ctr_gc_sol
     from tamgcn_tpu.utils.timing import time_chained
 
     dt_pallas = time_chained(_unit_ctr_gc_pallas, feed_pallas, args, chain=30, iters=5)
     dt_xla = time_chained(unit_ctr_gc_xla, feed_pallas, args, chain=30, iters=5)
     edges = n * t * v * v * s
+    sol = unit_ctr_gc_sol(n, t, v, c, r, s)
+    pct_sol = sol["t_sol"] / dt_pallas
     log(f"unit kernel shapes N={n} T={t} V={v} C={c} R={r} S={s}")
     log(f"  pallas: {dt_pallas*1e6:9.1f} us  {edges/dt_pallas/1e9:8.2f} Gedges/s")
     log(f"  xla:    {dt_xla*1e6:9.1f} us  {edges/dt_xla/1e9:8.2f} Gedges/s")
-    return edges / dt_pallas, dt_xla / dt_pallas
+    log(
+        f"  speed-of-light ({sol['spec'].name}, {sol['bound']}-bound): "
+        f"{sol['t_sol']*1e6:.1f} us "
+        f"[hbm {sol['t_mem']*1e6:.1f} / vpu {sol['t_vpu']*1e6:.1f} / "
+        f"mxu {sol['t_mxu']*1e6:.1f}] -> pallas at {pct_sol:.1%} of SoL"
+    )
+    return edges / dt_pallas, dt_xla / dt_pallas, pct_sol
 
 
 def bench_train_step(batch=64, dtype=None, ntu=False):
@@ -130,7 +139,7 @@ def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     # headline shape: the deep-layer CTR-GC (C=256), where the XLA path's
     # (N, V, V, C) intermediate is 4x the activation traffic
-    edges_per_s, speedup = bench_kernel(n=64, t=13, v=20, c=256, r=32)
+    edges_per_s, speedup, pct_sol = bench_kernel(n=64, t=13, v=20, c=256, r=32)
     bench_kernel(n=64, t=26, v=20, c=128, r=16)  # mid layer, context
     try:
         samples_per_s = bench_train_step()
@@ -149,6 +158,7 @@ def main():
                 "value": round(edges_per_s / 1e9, 4),
                 "unit": "Gedges/s",
                 "vs_baseline": round(speedup, 4),
+                "pct_speed_of_light": round(pct_sol, 4),
             }
         )
     )
