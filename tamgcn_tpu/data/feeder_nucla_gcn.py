@@ -167,9 +167,10 @@ class NUCLAFeederGCN:
 
     def get_batch(self, indices):
         """Batched native augmentation fast path (C++/OpenMP core,
-        tamgcn_tpu.runtime). ~13x the numpy per-sample path; the eval
-        pipeline is bit-identical, the train path uses its own
-        deterministic (seed, epoch, index) RNG streams."""
+        tamgcn_tpu.runtime). ~13x the numpy per-sample path; BOTH the eval
+        and train pipelines are bit-identical with the numpy path — the
+        native core implements the same numpy Philox (seed, epoch, index)
+        streams draw-for-draw (tests/test_runtime_native.py)."""
         if not self._native:
             return None
         from .. import runtime

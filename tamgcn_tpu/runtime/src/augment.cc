@@ -8,9 +8,12 @@
 // modality derivation — batched and OpenMP-parallel, so the host CPU keeps a
 // TPU fed at pod scale where the Python/numpy path cannot.
 //
-// Randomness: counter-based splitmix64/xoshiro256** streams keyed on
-// (seed, epoch, index) — deterministic and shard-safe like the numpy Philox
-// path (but an independent stream; the eval path is bit-exact with numpy).
+// Randomness: numpy-bit-compatible Philox4x64-10 counter streams keyed on
+// (seed, epoch, index) — the SAME streams as the Python feeder's
+// np.random.Generator(np.random.Philox(key=seed, counter=[0, 0, epoch,
+// index])), including numpy's masked-rejection bounded integers and
+// 53-bit-double uniforms, so a given seed yields bit-identical training
+// batches regardless of which backend is active.
 //
 // C ABI only (consumed via ctypes; no pybind11 in this environment).
 
@@ -22,43 +25,127 @@
 
 namespace {
 
-struct Xoshiro256 {
-  uint64_t s[4];
+// numpy's Philox4x64-10 bit generator (numpy/random/src/philox/philox.h,
+// Random123 constants), exposed with the two draw primitives the feeder
+// uses: Generator.integers (masked rejection) and Generator.uniform
+// (53-bit next_double).
+struct Philox {
+  uint64_t ctr[4];
+  uint64_t key[2];
+  uint64_t buf[4];
+  int pos;
+  // numpy bitgen-level half-word cache: next_uint32 returns the LOW half of
+  // a fresh 64-bit draw first and caches the high half across calls
+  // (numpy/random/src/philox/philox.h philox_next32)
+  uint32_t uinteger;
+  bool has_uint32;
 
-  static uint64_t splitmix64(uint64_t& x) {
-    x += 0x9E3779B97f4A7C15ULL;
-    uint64_t z = x;
-    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
-    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
-    return z ^ (z >> 31);
+  explicit Philox(uint64_t seed, uint64_t epoch, uint64_t index) {
+    ctr[0] = 0;
+    ctr[1] = 0;
+    ctr[2] = epoch;
+    ctr[3] = index;
+    key[0] = seed;  // np.random.Philox(key=seed): little-endian 128-bit key
+    key[1] = 0;
+    pos = 4;  // empty buffer: first next() increments the counter and fills
+    uinteger = 0;
+    has_uint32 = false;
   }
 
-  explicit Xoshiro256(uint64_t seed, uint64_t epoch, uint64_t index) {
-    uint64_t x = seed * 0x9E3779B97f4A7C15ULL + epoch * 0xBF58476D1CE4E5B9ULL +
-                 index + 0x94D049BB133111EBULL;
-    for (auto& si : s) si = splitmix64(x);
+  static void mulhilo(uint64_t a, uint64_t b, uint64_t* hi, uint64_t* lo) {
+    const __uint128_t p = static_cast<__uint128_t>(a) * b;
+    *hi = static_cast<uint64_t>(p >> 64);
+    *lo = static_cast<uint64_t>(p);
   }
 
-  static uint64_t rotl(uint64_t x, int k) { return (x << k) | (x >> (64 - k)); }
+  void block() {
+    // numpy increments the counter BEFORE generating each block
+    if (++ctr[0] == 0)
+      if (++ctr[1] == 0)
+        if (++ctr[2] == 0) ++ctr[3];
+    uint64_t c0 = ctr[0], c1 = ctr[1], c2 = ctr[2], c3 = ctr[3];
+    uint64_t k0 = key[0], k1 = key[1];
+    for (int r = 0; r < 10; ++r) {
+      if (r) {  // bump the key between rounds (Weyl constants)
+        k0 += 0x9E3779B97F4A7C15ULL;
+        k1 += 0xBB67AE8584CAA73BULL;
+      }
+      uint64_t hi0, lo0, hi1, lo1;
+      mulhilo(0xD2E7470EE14C6C93ULL, c0, &hi0, &lo0);
+      mulhilo(0xCA5A826395121157ULL, c2, &hi1, &lo1);
+      const uint64_t n0 = hi1 ^ c1 ^ k0;
+      const uint64_t n2 = hi0 ^ c3 ^ k1;
+      c0 = n0;
+      c1 = lo1;
+      c2 = n2;
+      c3 = lo0;
+    }
+    buf[0] = c0;
+    buf[1] = c1;
+    buf[2] = c2;
+    buf[3] = c3;
+    pos = 0;
+  }
 
   uint64_t next() {
-    const uint64_t result = rotl(s[1] * 5, 7) * 9;
-    const uint64_t t = s[1] << 17;
-    s[2] ^= s[0];
-    s[3] ^= s[1];
-    s[1] ^= s[2];
-    s[0] ^= s[3];
-    s[2] ^= t;
-    s[3] = rotl(s[3], 45);
-    return result;
+    if (pos >= 4) block();
+    return buf[pos++];
   }
 
-  // uniform double in [0, 1)
+  // numpy philox_next32: low half first, high half cached in the state
+  uint32_t next32() {
+    if (has_uint32) {
+      has_uint32 = false;
+      return uinteger;
+    }
+    const uint64_t v = next();
+    uinteger = static_cast<uint32_t>(v >> 32);
+    has_uint32 = true;
+    return static_cast<uint32_t>(v);
+  }
+
+  // numpy next_double: top 53 bits of a full 64-bit draw (the half-word
+  // cache is untouched — it only feeds next32)
   double uniform() { return (next() >> 11) * 0x1.0p-53; }
 
-  // uniform integer in [lo, hi] inclusive
-  int64_t randint(int64_t lo, int64_t hi) {
-    return lo + static_cast<int64_t>(uniform() * double(hi - lo + 1));
+  // numpy Generator.uniform(lo, hi)
+  double uniform(double lo, double hi) { return lo + (hi - lo) * uniform(); }
+
+  // numpy Generator.integers(lo, hi_inclusive): int64 dtype with the range
+  // in 32 bits takes the buffered 32-bit LEMIRE path
+  // (numpy/random/src/distributions: bounded_lemire_uint32 via
+  // random_bounded_uint64_fill with use_masked=false)
+  int64_t randint(int64_t lo, int64_t hi_inclusive) {
+    const uint64_t rng = static_cast<uint64_t>(hi_inclusive - lo);
+    if (rng == 0) return lo;
+    if (rng >= 0xFFFFFFFFULL) {
+      // not used by the feeder (ranges are rotation degrees / frame counts);
+      // 64-bit Lemire kept for completeness
+      const uint64_t rng_excl = rng + 1;
+      __uint128_t m = static_cast<__uint128_t>(next()) * rng_excl;
+      uint64_t leftover = static_cast<uint64_t>(m);
+      if (leftover < rng_excl) {
+        const uint64_t threshold = (uint64_t)(-rng_excl) % rng_excl;
+        while (leftover < threshold) {
+          m = static_cast<__uint128_t>(next()) * rng_excl;
+          leftover = static_cast<uint64_t>(m);
+        }
+      }
+      return lo + static_cast<int64_t>(m >> 64);
+    }
+    const uint32_t rng32 = static_cast<uint32_t>(rng);
+    const uint32_t rng_excl = rng32 + 1;
+    uint64_t m = static_cast<uint64_t>(next32()) * rng_excl;
+    uint32_t leftover = static_cast<uint32_t>(m);
+    if (leftover < rng_excl) {
+      const uint32_t threshold =
+          static_cast<uint32_t>(0xFFFFFFFFu - rng32) % rng_excl;
+      while (leftover < threshold) {
+        m = static_cast<uint64_t>(next32()) * rng_excl;
+        leftover = static_cast<uint32_t>(m);
+      }
+    }
+    return lo + static_cast<int64_t>(m >> 32);
   }
 };
 
@@ -90,24 +177,27 @@ enum Modality { kJoint = 0, kBone = 1, kMotion = 2 };
 void augment_one(const double* skel, int t_in, int V, int t_out, int train,
                  int modality, uint64_t seed, uint64_t epoch, uint64_t index,
                  float* out) {
-  Xoshiro256 rng(seed, epoch, index);
+  Philox rng(seed, epoch, index);
 
   double agx = 0.0, agy = 0.0, sc = 1.0;
   if (train) {
-    agx = double(rng.randint(-60, 60)) * M_PI / 180.0;
-    agy = double(rng.randint(-60, 60)) * M_PI / 180.0;
-    sc = 0.5 + rng.uniform();
+    // parenthesised like CPython's math.radians: x * (pi / 180)
+    agx = double(rng.randint(-60, 60)) * (M_PI / 180.0);
+    agy = double(rng.randint(-60, 60)) * (M_PI / 180.0);
+    sc = rng.uniform(0.5, 1.5);
   }
   // rotation matrix Ry @ Rx @ S (reference :75-83); applied as row-vector
   // x' = x @ M, i.e. out[j] = sum_i x[i] * M[i][j]
   const double cx = std::cos(agx), sx = std::sin(agx);
   const double cy = std::cos(agy), sy = std::sin(agy);
   // Rx = [[1,0,0],[0,cx,sx],[0,-sx,cx]], Ry = [[cy,0,-sy],[0,1,0],[sy,0,cy]]
-  // M = Ry @ Rx @ diag(s)
+  // M = Ry @ Rx @ diag(s), with each element written as the exact product
+  // chain numpy's two small f64 matmuls produce (zeros drop out of the
+  // k-sums), so the train path matches the Python feeder bit-for-bit
   double M[3][3] = {
-      {cy * sc, 0.0, -sy * sc},
-      {sx * sy * sc, cx * sc, sx * cy * sc},
-      {cx * sy * sc, -sx * sc, cx * cy * sc},
+      {cy * sc, sy * sx * sc, -(sy * cx) * sc},
+      {0.0, cx * sc, sx * sc},
+      {sy * sc, -(cy * sx) * sc, cy * cx * sc},
   };
 
   const int n = t_in * V;
@@ -204,6 +294,6 @@ void tamgcn_augment_batch(const double* skeletons, const int64_t* offsets,
   }
 }
 
-int tamgcn_version() { return 2; }
+int tamgcn_version() { return 3; }
 
 }  // extern "C"

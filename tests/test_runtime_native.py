@@ -100,3 +100,37 @@ def test_skeleton_feeder_native_ntu_bone(tmp_path):
         bp = next(iter(Loader(fp, batch_size=16)))
         np.testing.assert_allclose(bn[0], bp[0], atol=1e-6, err_msg=modality)
         np.testing.assert_array_equal(bn[1], bp[1])
+
+
+def test_train_path_bit_exact_with_numpy(tmp_path):
+    """Same (seed, epoch, index) -> bit-identical TRAIN batches on both
+    backends: the native runtime implements numpy's Philox4x64-10 streams
+    (masked-rejection integers + 53-bit uniforms) draw-for-draw."""
+    from tamgcn_tpu.data import Loader, NUCLAFeederGCN
+    from tamgcn_tpu.data.splits import load_nucla_split
+
+    rs = np.random.default_rng(11)
+    for info in load_nucla_split("train")[:64]:
+        name = info["file_name"]
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / f"{name}.json", "w") as f:
+            json.dump(
+                {"skeletons": rs.normal(size=(max(info["length"], 2), 20, 3)).tolist()},
+                f,
+            )
+    for epoch in (0, 3):
+        for modality in ("joint", "bone"):
+            fn = NUCLAFeederGCN(str(tmp_path), split="train", backend="native",
+                                modality=modality, seed=7, debug=True)
+            fp = NUCLAFeederGCN(str(tmp_path), split="train", backend="numpy",
+                                modality=modality, seed=7, debug=True)
+            fn.set_epoch(epoch)
+            fp.set_epoch(epoch)
+            bn = next(iter(Loader(fn, batch_size=16, seed=1)))
+            bp = next(iter(Loader(fp, batch_size=16, seed=1)))
+            np.testing.assert_array_equal(
+                bn[0], bp[0],
+                err_msg=f"train batches diverged (epoch={epoch}, {modality})",
+            )
+            np.testing.assert_array_equal(bn[1], bp[1])
