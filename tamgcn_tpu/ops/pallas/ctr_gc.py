@@ -24,11 +24,29 @@ they touch V²-sized tensors only.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    """Pallas interpret mode for this process.
+
+    Keys on the process-level default backend at TRACE time, not the device
+    the computation ultimately lands on — Pallas offers no per-trace device
+    hook. Mixed-backend callers (e.g. a CPU dryrun mesh alongside a TPU
+    default backend) must force the XLA path instead (use_pallas=False), as
+    the trainer and dryrun_multichip do. TAMGCN_PALLAS_INTERPRET=0/1
+    overrides for debugging either mode.
+    """
+    env = os.environ.get("TAMGCN_PALLAS_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() != "tpu"
+
 
 
 def _fused_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, A_ref,
@@ -137,7 +155,7 @@ def _fused_pallas_call(x1, x2, x3, w4, b4, alpha, A, *, transpose_m=False):
             transcendentals=N * V * V * R,
         ),
         # off-TPU (tests, CPU dry runs) the kernel runs in interpreter mode
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret_default(),
     )(x1, x2, x3, w4, b4.reshape(1, C), alpha2d, A)
 
 
@@ -254,6 +272,51 @@ def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, Ad_ref,
     for dd in range(1, V):
         x3r = pltpu.roll(x3r, V - 1, axis=2)
         acc = acc + mdcat[:, dd][:, None] * x3r
+    res = acc[..., 0:c]
+    for s in range(1, S):
+        res = res + acc[..., s * c:(s + 1) * c]
+    out_ref[:] = res.astype(out_ref.dtype)
+
+
+def _unit_fwd_kernel_bcast(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
+                           At_ref, out_ref, *, c: int):
+    """Broadcast-form forward: same op as _unit_fwd_kernel, different VPU
+    schedule. x1,x2 (BN,S,V,R); x3 (BN,BT,V,S*C); At (S,V,V) = A transposed
+    (At[s,v,u] = A[s,u,v]); out (BN,BT,V,C).
+
+    The roll-diagonal chain serialises V misaligned sublane shuffles of the
+    WHOLE x3 block (each roll feeds the next — a dependency chain of
+    relayouts, measured ~8x the pure-FMA floor). This form iterates over the
+    SOURCE joint v instead:
+
+        acc[:, t, u, :] += mT[v, u] * x3[t, v]          v = 0..V-1
+
+    Every step multiplies a contiguous mT page (v is a leading index of the
+    (BN, V_v, V_u, S*C) tensor — free to address) by a 1-sublane broadcast
+    of x3[:, :, v, :]: the only data movement is one sublane splat per step,
+    and the V steps are independent (no serial shuffle chain). Stage 1
+    builds mT[v, u] = tanh(x1[u] - x2[v]) @ w4 with the same per-v sublane
+    broadcasts of x2 — no rolls anywhere in the kernel."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    mts = []
+    for s in range(S):
+        x1 = x1_ref[:, s].astype(jnp.float32)   # (BN, V_u, R)
+        x2 = x2_ref[:, s].astype(jnp.float32)
+        ds = []
+        for v in range(V):
+            # D^T[v, u] = x1[u] - x2[v]: one sublane broadcast per source
+            ds.append(x1 - x2[:, v:v + 1, :])
+        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, v, u, R)
+        mt = jnp.dot(dstack.reshape(BN * V * V, R), w4_ref[s],
+                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        mts.append((mt + b4_ref[s][None]) * alpha
+                   + At_ref[s][None, :, :, None])
+    mtcat = jnp.concatenate(mts, axis=-1)       # (BN, v, u, S*c)
+    x3r = x3_ref[:].astype(jnp.float32)         # (BN, BT, v, S*c)
+    acc = mtcat[:, 0][:, None] * x3r[:, :, 0:1, :]
+    for v in range(1, V):
+        acc = acc + mtcat[:, v][:, None] * x3r[:, :, v:v + 1, :]
     res = acc[..., 0:c]
     for s in range(1, S):
         res = res + acc[..., s * c:(s + 1) * c]
@@ -390,14 +453,41 @@ def _unit_bwd_param_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref,
 
 # Empirical scoped-VMEM caps on the PADDED per-sample x3 block bytes
 # (bt * sublane-padded-V * lane-padded-S*C * 4). Calibrated on the v5e
-# against Mosaic's actual stack accounting (a first-principles byte model
-# underestimates the roll-chain buffers ~2x): at V=20 (24 sublanes) the
-# (T=52, S*C=192->256 lanes) = 1.28 MB block compiles for the forward,
-# while (T=52, S*C=384 lanes) = 1.92 MB overflows (17.4 MB > 16 MB). The
-# backward param kernel additionally holds the g block and the dmd scratch,
-# so its cap is lower.
+# (16 MB scoped VMEM) against Mosaic's actual stack accounting (a
+# first-principles byte model underestimates the roll-chain buffers ~2x):
+# at V=20 (24 sublanes) the (T=52, S*C=192->256 lanes) = 1.28 MB block
+# compiles for the forward, while (T=52, S*C=384 lanes) = 1.92 MB overflows
+# (17.4 MB > 16 MB). The backward param kernel additionally holds the g
+# block and the dmd scratch, so its cap is lower.
+#
+# Other generations scale the cap by their VMEM size relative to the v5e
+# baseline (_vmem_scale); TAMGCN_VMEM_SCALE overrides for recalibration
+# without a code change (the caps are conservative-by-construction: an
+# undersized cap only shrinks the T-block, it never overflows).
 _FWD_BLOCK_BYTES_CAP = 53248 * 24
 _BWD_BLOCK_BYTES_CAP = 40960 * 24
+
+# scoped-VMEM MB per generation relative to the v5e's 16 MB
+_VMEM_SCALE_BY_KIND = (
+    ("v6", 2.0),  # Trillium: 32 MB scoped VMEM
+    ("v5p", 1.0),
+    ("v5", 1.0),
+    ("v4", 1.0),
+)
+
+
+def _vmem_scale() -> float:
+    env = os.environ.get("TAMGCN_VMEM_SCALE")
+    if env:
+        return float(env)
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 1.0
+    for key, scale in _VMEM_SCALE_BY_KIND:
+        if key in kind:
+            return scale
+    return 1.0
 
 
 def _padded_sample_row_bytes(v: int, c: int, s: int) -> int:
@@ -428,7 +518,8 @@ def _pick_blocks(n: int, t: int, cap_bytes: int, row_bytes: int
 def _unit_block_n(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     """(samples per program, T-block) for the forward grid."""
     return _pick_blocks(
-        n, t, _FWD_BLOCK_BYTES_CAP, _padded_sample_row_bytes(v, c, s)
+        n, t, int(_FWD_BLOCK_BYTES_CAP * _vmem_scale()),
+        _padded_sample_row_bytes(v, c, s)
     )
 
 
@@ -437,7 +528,8 @@ def _unit_bwd_blocks(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     T exactly (a padded tail block would feed garbage frames into the dmd
     accumulation) — _pick_blocks only returns divisors."""
     return _pick_blocks(
-        n, t, _BWD_BLOCK_BYTES_CAP, _padded_sample_row_bytes(v, c, s)
+        n, t, int(_BWD_BLOCK_BYTES_CAP * _vmem_scale()),
+        _padded_sample_row_bytes(v, c, s)
     )
 
 
@@ -451,17 +543,28 @@ def _gather_diag(As, transpose: bool):
     return As[:, u, (u + d) % V]
 
 
-def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
+def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As,
+                           form: str | None = None):
     """Forward kernel call. x1s/x2s (N,S,V,R); x3s (N,T,V,S*C); w4s (S,R,C);
-    b4s (S,C); alpha (1,); As (S,V,V) -> out (N,T,V,C)."""
+    b4s (S,C); alpha (1,); As (S,V,V) -> out (N,T,V,C).
+
+    form: 'bcast' (default; source-joint broadcast schedule) or 'roll'
+    (roll-diagonal schedule) — same numerics, different VPU data movement;
+    TAMGCN_CTR_GC_FORM overrides for benchmarking."""
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "bcast")
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     bn, bt = _unit_block_n(N, T, V, C, S)
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
-    Ad = _gather_diag(As, transpose=False)
+    if form == "bcast":
+        kernel = functools.partial(_unit_fwd_kernel_bcast, c=C)
+        Ad = jnp.swapaxes(As, -1, -2)  # At[s, v, u] = A[s, u, v]
+    else:
+        kernel = functools.partial(_unit_fwd_kernel, c=C)
+        Ad = _gather_diag(As, transpose=False)
     return pl.pallas_call(
-        functools.partial(_unit_fwd_kernel, c=C),
+        kernel,
         grid=(N // bn, T // bt),
         in_specs=[
             pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -483,7 +586,7 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As):
             bytes_accessed=4 * N * (T * V * (S + 1) * C + 2 * S * V * R),
             transcendentals=N * S * V * V * R,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret_default(),
     )(x1s, x2s, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, Ad)
 
 
@@ -497,7 +600,7 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
-    interp = jax.default_backend() != "tpu"
+    interp = _interpret_default()
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
     Atd = _gather_diag(As, transpose=True)
     b4r = b4s.reshape(S, 1, C)
