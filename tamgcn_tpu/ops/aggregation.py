@@ -155,11 +155,12 @@ def unit_ctr_gc(
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     tf = _tfold(C, T)
-    # Auto-dispatch stays on the XLA path below C=128: the folded kernel is
-    # correct but measured slightly SLOWER in-model than XLA at C=64 (the
-    # fold/unfold relayouts outweigh the kernel's lane-utilisation win:
-    # 49.9 vs 47.9 ms/step at batch 64 with the roll-diagonal kernels).
-    # Explicit use_pallas=True still takes the folded path.
+    # Auto-dispatch stays on the XLA path below C=128. With the
+    # broadcast-form kernel the folded FORWARD now beats XLA at C=64
+    # (1156 vs 1275 us at T=52, batch 64) but the folded backward still
+    # loses, and end-to-end the train step is slower with Pallas at C=64
+    # (47.3 vs 45.7 ms/step, v5e batch 64) — see docs/KERNELS.md for the
+    # concession analysis. Explicit use_pallas=True takes the folded path.
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and C >= 128
     if not use_pallas:

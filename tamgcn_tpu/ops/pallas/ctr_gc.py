@@ -249,6 +249,10 @@ def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, Ad_ref,
     VPU stage) so the roll-chain buffers stay inside scoped VMEM."""
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
+    # Mixed precision: bf16 activations put the stage-1 matmul on the MXU's
+    # native bf16 path (f32 matmuls cost ~4 passes); accumulation stays f32
+    # via preferred_element_type. tanh and stage 2 always run f32 on the VPU.
+    mm_dtype = jnp.bfloat16 if x3_ref.dtype == jnp.bfloat16 else jnp.float32
     mds = []
     for s in range(S):
         # bf16-safe: inputs may be bf16, all arithmetic runs f32 in VMEM
@@ -260,7 +264,8 @@ def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, Ad_ref,
             if dd + 1 < V:
                 x2r = pltpu.roll(x2r, V - 1, axis=1)
         dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, u, R)
-        md = jnp.dot(dstack.reshape(BN * V * V, R), w4_ref[s],
+        md = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                     w4_ref[s].astype(mm_dtype),
                      preferred_element_type=jnp.float32).reshape(BN, V, V, c)
         mds.append((md + b4_ref[s][None]) * alpha
                    + Ad_ref[s][None, :, :, None])
@@ -299,6 +304,8 @@ def _unit_fwd_kernel_bcast(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
     broadcasts of x2 — no rolls anywhere in the kernel."""
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
+    # bf16 activations -> MXU-native bf16 stage-1 matmul, f32 accumulation
+    mm_dtype = jnp.bfloat16 if x3_ref.dtype == jnp.bfloat16 else jnp.float32
     mts = []
     for s in range(S):
         x1 = x1_ref[:, s].astype(jnp.float32)   # (BN, V_u, R)
@@ -308,7 +315,8 @@ def _unit_fwd_kernel_bcast(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
             # D^T[v, u] = x1[u] - x2[v]: one sublane broadcast per source
             ds.append(x1 - x2[:, v:v + 1, :])
         dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, v, u, R)
-        mt = jnp.dot(dstack.reshape(BN * V * V, R), w4_ref[s],
+        mt = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                     w4_ref[s].astype(mm_dtype),
                      preferred_element_type=jnp.float32).reshape(BN, V, V, c)
         mts.append((mt + b4_ref[s][None]) * alpha
                    + At_ref[s][None, :, :, None])
@@ -323,6 +331,113 @@ def _unit_fwd_kernel_bcast(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
     out_ref[:] = res.astype(out_ref.dtype)
 
 
+def _unit_bwd_dx3_kernel_bcast(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
+                               alpha_ref, A_ref, dx3_ref, *, c: int):
+    """Broadcast-form data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c].
+
+    Mirror image of the forward broadcast schedule, iterating over the
+    OUTPUT joint u: stage 1 builds M in natural (u, v) layout with one
+    sublane broadcast of x1 per u (A needs no transpose/gather), and stage 2
+    accumulates `acc[:, t, v, :] += m[u, v] * g[t, u]` — a contiguous m page
+    times a 1-sublane splat of g per step, V independent steps, no serial
+    roll chain anywhere."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
+    ms = []
+    for s in range(S):
+        x1 = x1_ref[:, s].astype(jnp.float32)
+        x2 = x2_ref[:, s].astype(jnp.float32)   # (BN, V_v, R)
+        ds = []
+        for u in range(V):
+            ds.append(x1[:, u:u + 1, :] - x2)   # D[u, v]
+        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
+        m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                    w4_ref[s].astype(mm_dtype),
+                    preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        ms.append((m + b4_ref[s][None]) * alpha
+                  + A_ref[s][None, :, :, None])
+    mcat = jnp.concatenate(ms, axis=-1)            # (BN, u, v, S*c)
+    gc = g_ref[:].astype(jnp.float32)              # (BN, BT, V, C)
+    gr = jnp.concatenate([gc] * S, axis=-1)        # (BN, BT, V, S*c)
+    acc = mcat[:, 0][:, None] * gr[:, :, 0:1, :]
+    for u in range(1, V):
+        acc = acc + mcat[:, u][:, None] * gr[:, :, u:u + 1, :]
+    dx3_ref[:] = acc.astype(dx3_ref.dtype)
+
+
+def _unit_bwd_param_kernel_bcast(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
+                                 b4_ref, alpha_ref,
+                                 dx1_ref, dx2_ref, dw4_ref, db4_ref, dAt_ref,
+                                 dalpha_ref, dmt_scr, *, c: int):
+    """Broadcast-form parameter gradients: same math as
+    _unit_bwd_param_kernel, in transposed (v, u) layout with no roll chains.
+
+    Phase B accumulates dm^T[v, u] = sum_t x3[t, v] * g[t, u] — one sublane
+    splat of x3 per source joint v, V independent multiply-reduce steps
+    (the roll form's V-step serial shuffle chain of x3 disappears). Phase C
+    rebuilds D^T[v, u] with the forward's per-v broadcasts, and both
+    reductions are now plain axis sums: dx1[u] = sum_v dpre[v, u] (leading
+    axis, free) and dx2[v] = -sum_u dpre[v, u] (sublane reduce — the roll
+    form needed another V-roll chain here). dAt is emitted transposed and
+    swapped back outside."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    first_sample_block = pl.program_id(0) == 0
+
+    # ---- phase B: dm^T accumulation over T-blocks --------------------------
+    gc = g_ref[:].astype(jnp.float32)
+    gr = jnp.concatenate([gc] * S, axis=-1)        # (BN, BT, V_u, S*c)
+    x3r = x3_ref[:].astype(jnp.float32)            # (BN, BT, V_v, S*c)
+    for v in range(V):
+        part = jnp.sum(gr * x3r[:, :, v:v + 1, :], axis=1)  # (BN, u, S*c)
+
+        @pl.when(j == 0)
+        def _set(v=v, part=part):
+            dmt_scr[:, v] = part
+
+        @pl.when(j != 0)
+        def _add(v=v, part=part):
+            dmt_scr[:, v] += part
+
+    # ---- phase C (last T-block): parameter grads from dm^T -----------------
+    @pl.when(j == nt - 1)
+    def _param_grads():
+        def accum(ref, idx, val):
+            ref[idx] = jnp.where(first_sample_block, val, ref[idx] + val)
+
+        dalpha_local = jnp.zeros((1, 1), jnp.float32)
+        for s in range(S):
+            dmt_s = dmt_scr[:, :, :, s * c:(s + 1) * c]  # (BN, v, u, c)
+            x1 = x1_ref[:, s].astype(jnp.float32)
+            x2 = x2_ref[:, s].astype(jnp.float32)
+            ds = []
+            for v in range(V):
+                ds.append(x1 - x2[:, v:v + 1, :])  # D^T[v, u]
+            dstack = jnp.tanh(jnp.stack(ds, axis=1))   # (BN, v, u, R)
+            d2 = dstack.reshape(BN * V * V, R)
+            dmt2 = dmt_s.reshape(BN * V * V, c)
+            accum(dAt_ref, s, jnp.sum(dmt_s, axis=(0, 3)))
+            accum(db4_ref, s, alpha * jnp.sum(dmt2, axis=0)[None, :])
+            accum(dw4_ref, s, alpha * jax.lax.dot_general(
+                d2, dmt2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            p = jnp.dot(d2, w4_ref[s],
+                        preferred_element_type=jnp.float32) + b4_ref[s]
+            dalpha_local = dalpha_local + jnp.sum(dmt2 * p).reshape(1, 1)
+            dd_r = jax.lax.dot_general(
+                dmt2, w4_ref[s], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpre = (alpha * dd_r * (1.0 - d2 * d2)).reshape(BN, V, V, R)
+            dx1_ref[:, s] = jnp.sum(dpre, axis=1).astype(dx1_ref.dtype)
+            dx2_ref[:, s] = (-jnp.sum(dpre, axis=2)).astype(dx2_ref.dtype)
+        accum(dalpha_ref, (slice(None), slice(None)), dalpha_local)
+
+
 def _unit_bwd_dx3_kernel(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref,
                          Atd_ref, dx3_ref, *, c: int):
     """Backward data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c].
@@ -334,6 +449,8 @@ def _unit_bwd_dx3_kernel(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref,
     """
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
+    # bf16 cotangents -> MXU-native bf16 stage-1 matmul, f32 accumulation
+    mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
     mtds = []
     for s in range(S):
         x1r = x1_ref[:, s].astype(jnp.float32)
@@ -344,7 +461,8 @@ def _unit_bwd_dx3_kernel(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref,
             if dd + 1 < V:
                 x1r = pltpu.roll(x1r, V - 1, axis=1)
         dstackT = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, v, R)
-        mtd = jnp.dot(dstackT.reshape(BN * V * V, R), w4_ref[s],
+        mtd = jnp.dot(dstackT.reshape(BN * V * V, R).astype(mm_dtype),
+                      w4_ref[s].astype(mm_dtype),
                       preferred_element_type=jnp.float32).reshape(BN, V, V, c)
         mtds.append((mtd + b4_ref[s][None]) * alpha
                     + Atd_ref[s][None, :, :, None])
@@ -590,25 +708,36 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As,
     )(x1s, x2s, x3s, w4s, b4s.reshape(S, 1, C), alpha2d, Ad)
 
 
-def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
+def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
+                           form: str | None = None):
     """Fully-fused backward kernel call.
 
     Returns (dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs) — the complete
     gradient set of the unit op; the dense (N,S,V,V,C) dm intermediate never
-    touches HBM. dAs is scattered back from the kernel's diagonal layout.
+    touches HBM. form: 'bcast' (default; no serial roll chains) or 'roll'
+    (the original roll-diagonal schedule), TAMGCN_CTR_GC_FORM overrides —
+    dAs comes back from the kernel's transposed/diagonal layout accordingly.
     """
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "bcast")
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     interp = _interpret_default()
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
-    Atd = _gather_diag(As, transpose=True)
+    if form == "bcast":
+        dx3_kernel = _unit_bwd_dx3_kernel_bcast
+        param_kernel = _unit_bwd_param_kernel_bcast
+        Atd = As  # natural (u, v) layout, no gather
+    else:
+        dx3_kernel = _unit_bwd_dx3_kernel
+        param_kernel = _unit_bwd_param_kernel
+        Atd = _gather_diag(As, transpose=True)
     b4r = b4s.reshape(S, 1, C)
 
     # kernel 1: dx3 (same footprint class as the forward kernel)
     bn, bt = _unit_block_n(N, T, V, C, S)
     dx3s = pl.pallas_call(
-        functools.partial(_unit_bwd_dx3_kernel, c=C),
+        functools.partial(dx3_kernel, c=C),
         grid=(N // bn, T // bt),
         in_specs=[
             pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -633,10 +762,10 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
         interpret=interp,
     )(x1s, x2s, g, w4s, b4r, alpha2d, Atd)
 
-    # kernel 2: dmd accumulation + all parameter gradients
+    # kernel 2: dm accumulation + all parameter gradients
     bn, bt = _unit_bwd_blocks(N, T, V, C, S)
     dx1s, dx2s, dw4s, db4s2, dAd, dalpha2 = pl.pallas_call(
-        functools.partial(_unit_bwd_param_kernel, c=C),
+        functools.partial(param_kernel, c=C),
         grid=(N // bn, T // bt),
         in_specs=[
             pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -682,11 +811,16 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As):
         ),
         interpret=interp,
     )(x1s, x2s, g, x3s, w4s, b4r, alpha2d)
-    # scatter dAd (diagonal layout d,u) back to (u, v = (u+d) % V)
-    V_ = As.shape[-1]
-    u = jnp.arange(V_)[None, :]
-    d = jnp.arange(V_)[:, None]
-    dAs = jnp.zeros_like(dAd).at[:, u, (u + d) % V_].set(dAd).astype(As.dtype)
+    if form == "bcast":
+        # dAt is in transposed (v, u) layout
+        dAs = jnp.swapaxes(dAd, -1, -2).astype(As.dtype)
+    else:
+        # scatter dAd (diagonal layout d,u) back to (u, v = (u+d) % V)
+        V_ = As.shape[-1]
+        u = jnp.arange(V_)[None, :]
+        d = jnp.arange(V_)[:, None]
+        dAs = (jnp.zeros_like(dAd).at[:, u, (u + d) % V_].set(dAd)
+               .astype(As.dtype))
     dalpha = jnp.reshape(dalpha2, jnp.shape(alpha)).astype(alpha.dtype)
     db4s = db4s2.reshape(S, C).astype(b4s.dtype)
     # cotangent dtypes must match the primals (bf16 under mixed precision)

@@ -164,6 +164,34 @@ def test_unit_vjp_matches_xla():
         )
 
 
+@pytest.mark.parametrize("form", ["roll", "bcast"])
+def test_unit_vjp_both_forms_match_xla(form, monkeypatch):
+    """Both kernel schedules (serial roll-diagonal and source-joint
+    broadcast) compute the identical op, forward and full gradient set."""
+    monkeypatch.setenv("TAMGCN_CTR_GC_FORM", form)
+    args = _make_unit_inputs(n=2, t=13, v=20, c=128, r=16)
+
+    def f_pallas(*a):
+        return jnp.sum(jnp.sin(_unit_ctr_gc_pallas(*a)))
+
+    def f_xla(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc_xla(*a)))
+
+    np.testing.assert_allclose(
+        np.asarray(_unit_ctr_gc_pallas(*args)),
+        np.asarray(unit_ctr_gc_xla(*args)),
+        rtol=2e-5, atol=2e-5,
+    )
+    gp = jax.grad(f_pallas, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(f_xla, argnums=tuple(range(7)))(*args)
+    names = ["x1s", "x2s", "x3s", "w4s", "b4s", "alpha", "As"]
+    for name, a, b in zip(names, gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch ({form}): {name}",
+        )
+
+
 def test_unit_dispatch_fallback_on_cpu():
     # on CPU (tests force JAX_PLATFORMS=cpu) auto-dispatch takes the XLA path
     args = _make_unit_inputs(n=1, t=4, v=20, c=64, r=8)
