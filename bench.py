@@ -129,6 +129,32 @@ def bench_train_step(batch=64, dtype=None, ntu=False):
     return batch / dt
 
 
+def bench_fast_eval(batch=64):
+    """Eval forward: flax apply vs the fused GCN+TCN block engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.models.ctrgcn_infer import make_fast_eval_fn
+    from tamgcn_tpu.utils.timing import time_chained
+
+    model = create_ctrgcn_nucla(use_pallas=None)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    flax_eval = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    fast = make_fast_eval_fn(model)
+
+    def feed(out, args):
+        return (args[0], args[1] + out.mean() * 1e-9)
+
+    dt_flax = time_chained(flax_eval, feed, (variables, x), chain=20, iters=5)
+    dt_fast = time_chained(fast, feed, (variables, x), chain=20, iters=5)
+    log(f"eval fwd (batch {batch}): flax {dt_flax*1e3:.2f} ms, fused-block "
+        f"engine {dt_fast*1e3:.2f} ms ({dt_flax/dt_fast:.2f}x)")
+
+
 def main():
     import jax
 
@@ -148,6 +174,7 @@ def main():
 
         bf16 = bench_train_step(dtype=jnp.bfloat16)
         log(f"train throughput (bf16 mixed precision): {bf16:.1f} samples/s")
+        bench_fast_eval()
         bench_train_step(batch=32, ntu=True)  # NTU-60 stretch config
     except Exception as e:  # keep the primary metric even if train bench dies
         log(f"train bench failed: {e}")

@@ -125,6 +125,9 @@ def base_parser(add_help: bool = False) -> argparse.ArgumentParser:
                         "dividing num_point)")
     p.add_argument("--use_pallas", type=str2bool, default=None,
                    help="force Pallas kernels on/off (default: auto by backend)")
+    p.add_argument("--fast_eval", type=str2bool, default=False,
+                   help="test-phase inference through the fused GCN+TCN "
+                        "block kernel (CTRGCN only; BN folded to affine)")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir (enables per-step traces)")
     p.add_argument("--debug_nans", type=str2bool, default=False,

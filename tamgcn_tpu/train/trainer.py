@@ -261,6 +261,28 @@ class RecognitionTrainer:
                 self.pstate = jax.device_put(self.pstate, replicated(self.mesh))
             self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
+        # --fast_eval: route test-phase inference through the fused GCN+TCN
+        # block kernel (ops/pallas/gcn_tcn_block.py) — eval BN folds to
+        # affine, so a whole TCN_GCN_unit runs in one VMEM pass. CTRGCN only.
+        from ..models.ctrgcn import CTRGCN
+
+        if getattr(self.arg, "fast_eval", False) and isinstance(model, CTRGCN):
+            from ..models.ctrgcn_infer import make_fast_eval_fn
+
+            fast_fn = make_fast_eval_fn(model)
+
+            def fast_eval_step(state: TrainState, inputs, label):
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                logits = fast_fn(variables, *inputs)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, label
+                ).mean()
+                return loss, logits
+
+            self.eval_step = jax.jit(fast_eval_step)
 
     def _build_tp_step(self, loss_fn):
         """Tensor-parallel train step: unpacked pytree state, per-param
