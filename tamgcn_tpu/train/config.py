@@ -128,6 +128,10 @@ def base_parser(add_help: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--fast_eval", type=str2bool, default=False,
                    help="test-phase inference through the fused GCN+TCN "
                         "block kernel (CTRGCN only; BN folded to affine)")
+    p.add_argument("--sequence_parallel", type=str2bool, default=False,
+                   help="shard the eval batches' TIME axis over the 'model' "
+                        "mesh axis (requires model_parallel > 1 dividing T; "
+                        "XLA inserts halo exchanges for the temporal convs)")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir (enables per-step traces)")
     p.add_argument("--debug_nans", type=str2bool, default=False,

@@ -434,9 +434,36 @@ class RecognitionTrainer:
         self.session.print_timer()
         return mean_loss
 
+    def _sp_put(self, inputs, label):
+        """--sequence_parallel eval placement: the skeleton inputs' TIME axis
+        rides the 'model' mesh axis (P('data', None, 'model') for the
+        (N,C,T,V,M) layout, P('data', 'model') for the flat (N,T,V*C) feeder
+        layout); GSPMD inserts the temporal-conv halo exchanges over ICI
+        (SURVEY §5 long-context; counterpart of __graft_entry__'s sp
+        forward, now reachable from the trainer)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def spec(a):
+            if a.ndim == 5:
+                return P("data", None, "model")
+            if a.ndim == 3:
+                return P("data", "model")
+            return P("data")
+
+        arrs = tuple(inputs) + (label.astype(np.int32),)
+        specs = tuple(spec(a) for a in inputs) + (P("data"),)
+        return tuple(
+            jax.device_put(a, NamedSharding(self.mesh, s))
+            for a, s in zip(arrs, specs)
+        )
+
     def test_epoch(self):
         loader = self.loaders["test"]
         losses, scores, labels = [], [], []
+        sp_eval = (
+            getattr(self.arg, "sequence_parallel", False)
+            and self.mesh.shape.get("model", 1) > 1
+        )
 
         def put(batch):
             inputs, label = batch[:-2], batch[-2]
@@ -455,7 +482,12 @@ class RecognitionTrainer:
                 label = np.concatenate(
                     [label, np.resize(label, (pad,))], axis=0
                 )
-            sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
+            if sp_eval:
+                sharded = self._sp_put(inputs, label)
+            else:
+                sharded = shard_batch(
+                    self.mesh, *inputs, label.astype(np.int32)
+                )
             return sharded[:-1], sharded[-1], n, np.asarray(batch[-2])
 
         for ins, l, n, label_np in prefetch(iter(loader), put):
