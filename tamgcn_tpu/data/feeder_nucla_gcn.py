@@ -47,6 +47,8 @@ class NUCLAFeederGCN:
         load_rgb: bool = False,
         rgb_size: int = 299,
         debug: bool = False,
+        dtype: str = "float32",  # skeleton output dtype; float64 for the
+        # f64 full-pipeline equivalence harness (tests/test_train_pipeline.py)
         backend: str = "auto",  # auto | native | numpy
         # reference-config compatibility; accepted and unused, like the
         # reference Feeder's random_choose/random_shift/... args for NUCLA
@@ -65,6 +67,7 @@ class NUCLAFeederGCN:
         self.seed = seed
         self.epoch = 0
         self.load_rgb = load_rgb
+        self.dtype = np.dtype(dtype)
         self.rgb_size = rgb_size
 
         self.data_dict = load_nucla_split(split)
@@ -77,7 +80,8 @@ class NUCLAFeederGCN:
         self._load_data()
 
         self._native = False
-        if backend in ("auto", "native") and not load_rgb:
+        if (backend in ("auto", "native") and not load_rgb
+                and self.dtype == np.float32):  # native core emits f32 only
             from .. import runtime
 
             self._native = runtime.available()
@@ -137,7 +141,7 @@ class NUCLAFeederGCN:
             data = T.to_motion(data)
 
         data = np.transpose(data, (2, 0, 1)).reshape(3, self.time_steps, 20, 1)
-        out = data.astype(np.float32)
+        out = data.astype(self.dtype)
         if self.load_rgb:
             rgb = self._load_last_rgb_frame(index)
             return out, rgb, label, index

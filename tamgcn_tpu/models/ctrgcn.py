@@ -113,6 +113,12 @@ class UnitGCN(nn.Module):
     residual: bool = True
     use_pallas: bool | None = None
     dtype: Any = None
+    # edge-partitioned graph parallelism: "ring" shards the joint axis over
+    # the mesh's 'model' axis and pipelines the x3 boundary exchange against
+    # the locally-held dynamic-adjacency rows
+    # (parallel/graph_parallel.ring_unit_ctr_gc — the north-star case)
+    graph_partition: str = "none"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -156,9 +162,20 @@ class UnitGCN(nn.Module):
         b4s = self.param(
             "conv4_bias", nn.initializers.zeros, (num_subset, C)
         )
-        y = unit_ctr_gc(
-            x1s, x2s, x3s, w4s, b4s, alpha, A, use_pallas=self.use_pallas
-        )
+        if self.graph_partition == "ring":
+            if self.mesh is None:
+                raise ValueError("graph_partition='ring' requires a mesh")
+            from ..parallel.graph_parallel import ring_unit_ctr_gc
+
+            y = ring_unit_ctr_gc(x1s, x2s, x3s, w4s, b4s, alpha, A, self.mesh)
+        elif self.graph_partition in ("none", None):
+            y = unit_ctr_gc(
+                x1s, x2s, x3s, w4s, b4s, alpha, A, use_pallas=self.use_pallas
+            )
+        else:
+            raise ValueError(
+                f"unknown graph_partition {self.graph_partition!r}"
+            )
         # bn_init(self.bn, 1e-6): near-zero scale at init (reference :240)
         y = BatchNorm(
             use_running_average=not train,
@@ -405,6 +422,8 @@ class TCNGCNUnit(nn.Module):
     dilations: Sequence[int] = (1, 2)
     use_pallas: bool | None = None
     dtype: Any = None
+    graph_partition: str = "none"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -415,6 +434,8 @@ class TCNGCNUnit(nn.Module):
             adaptive=self.adaptive,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
+            graph_partition=self.graph_partition,
+            mesh=self.mesh,
             name="gcn1",
         )(x, train=train)
         y = MultiScaleTCN(
@@ -459,6 +480,9 @@ class CTRGCN(nn.Module):
     base_channel: int = 64
     use_pallas: bool | None = None
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
+    # edge-partitioned graph parallelism over mesh's 'model' axis ("ring")
+    graph_partition: str = "none"
+    mesh: Any = None
 
     def setup(self):
         if self.graph is None:
@@ -481,6 +505,8 @@ class CTRGCN(nn.Module):
                 adaptive=self.adaptive,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
+                graph_partition=self.graph_partition,
+                mesh=self.mesh,
             )
 
         self.l1 = block(self.in_channels, bc, residual=False)

@@ -38,7 +38,8 @@ def _fold_conv_bn(kernel, bias, scale, shift):
 
 
 def _fold_block(p, s, *, in_ch: int, out_ch: int, stride: int,
-                block_residual: bool, kernel_size: int, dilations) -> dict:
+                block_residual: bool, kernel_size: int, dilations,
+                static_A=None) -> dict:
     """Precompute all folded weights for one TCN_GCN_unit."""
     gp, gs = p["gcn1"], s["gcn1"]
     tp, ts = p["tcn1"], s["tcn1"]
@@ -52,7 +53,16 @@ def _fold_block(p, s, *, in_ch: int, out_ch: int, stride: int,
     fb["w4s"] = gp["conv4_kernel"]
     fb["b4s"] = gp["conv4_bias"]
     fb["alpha"] = gp["alpha"]
-    fb["A"] = gp["PA"]
+    if "PA" in gp:
+        fb["A"] = gp["PA"]
+    elif static_A is not None:
+        # adaptive=False: the adjacency is the static graph, not a param
+        fb["A"] = jnp.asarray(static_A, jnp.float32)
+    else:
+        raise KeyError(
+            "gcn1 has no 'PA' param (model built with adaptive=False?) and "
+            "no static adjacency was provided to the fast-eval engine"
+        )
     gy_s, gy_b = fold_bn(gp["bn"], gs["bn"])
     fb["gy"] = jnp.stack([gy_s, gy_b])
 
@@ -201,6 +211,16 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
     ops/aggregation.unit_ctr_gc — the narrow blocks take the same
     folded-affine math as XLA ops); True/False force one path everywhere.
     """
+    from .ctrgcn import CTRGCN, TCNGCNUnit, get_graph
+
+    if not isinstance(model, CTRGCN):
+        raise TypeError(
+            f"make_fast_eval_fn requires a CTRGCN model, got "
+            f"{type(model).__name__}"
+        )
+    # Block topology mirrors CTRGCN.setup (channel doubling at l5/l8);
+    # kernel_size/dilations come from TCNGCNUnit's field defaults — the
+    # single block config CTRGCN constructs (models/ctrgcn.py setup()).
     bc = model.base_channel
     specs = [
         (model.in_channels, bc, 1, False),
@@ -209,6 +229,18 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
         (bc * 2, bc * 2, 1, True), (bc * 2, bc * 4, 2, True),
         (bc * 4, bc * 4, 1, True), (bc * 4, bc * 4, 1, True),
     ]
+    fields = {f.name: f.default for f in TCNGCNUnit.__dataclass_fields__.values()}
+    kernel_size = fields["kernel_size"]
+    dilations = tuple(fields["dilations"])
+    # static adjacency fallback for adaptive=False models (no 'PA' param)
+    if isinstance(model.graph, np.ndarray):
+        static_A = model.graph
+    elif isinstance(model.graph, str):
+        static_A = get_graph(model.graph, **(model.graph_args or {})).A
+    elif model.graph is not None:
+        static_A = model.graph.A
+    else:
+        static_A = None
     num_point = model.num_point
 
     @jax.jit
@@ -219,7 +251,8 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
             blocks.append(_fold_block(
                 params[f"l{idx}"], stats[f"l{idx}"],
                 in_ch=cin, out_ch=cout, stride=stride, block_residual=resid,
-                kernel_size=5, dilations=(1, 2),
+                kernel_size=kernel_size, dilations=dilations,
+                static_A=static_A,
             ))
         dbn_scale, dbn_bias = fold_bn(params["data_bn"], stats["data_bn"])
         fc_k, fc_b = params["fc"]["kernel"], params["fc"]["bias"]

@@ -156,7 +156,21 @@ def _block_fixed_bytes(v: int, c: int, s: int, r: int) -> int:
 def _pick_block_shapes(n: int, t: int, cap: int, row: int, fixed: int
                        ) -> tuple[int, int]:
     """Largest T-block (divisor of t), then largest power-of-2 sample block,
-    with bn * (bt * row + fixed) <= cap."""
+    with bn * (bt * row + fixed) <= cap. The cap is a conservative
+    per-block budget (the production C=256 deep blocks exceed it at bt=1
+    and still compile), so bt=1 over-cap is allowed — but a minimum block
+    several times the budget cannot fit scoped VMEM at all and would die in
+    Mosaic with an opaque overflow; raise a descriptive error instead so
+    callers can dispatch such V/C configs to the XLA folded-affine path."""
+    if row + fixed > 8 * cap:
+        raise ValueError(
+            f"fused GCN+TCN block does not fit scoped VMEM even at "
+            f"(bn=1, bt=1): row={row}B + fixed={fixed}B > cap={cap}B. "
+            "This V/C config is too large for the fused kernel on this "
+            "generation — use the XLA eval path (fast_eval off or "
+            "use_pallas=False), or raise TAMGCN_VMEM_SCALE on a "
+            "larger-VMEM chip."
+        )
     bt = 1
     for cand in sorted((d for d in range(1, t + 1) if t % d == 0),
                        reverse=True):

@@ -178,6 +178,120 @@ def ring_aggregate_stgcn(
     return run(x, jnp.swapaxes(A, -1, -2))
 
 
+def _ring_body_ctr_gc(s, carry, *, axis_name, k, S):
+    """One ring step of the CTR-GC aggregation (see ring_unit_ctr_gc)."""
+    acc, block, m_local = carry
+    me = jax.lax.axis_index(axis_name)
+    src = (me - s) % k
+    vb = block.shape[-2]
+    # m_local: (N, S, U_local, V, C) — slice the source chip's joint columns
+    m_blk = jax.lax.dynamic_slice_in_dim(m_local, src * vb, vb, axis=3)
+    N, T = block.shape[0], block.shape[1]
+    C = m_blk.shape[-1]
+    x3b = block.reshape(N, T, vb, S, C)
+    # acc[n,t,u,c] += sum_{s,v} m_blk[n,s,u,v,c] * x3b[n,t,v,s,c]
+    acc = acc + jnp.einsum(
+        "nsuvc,ntvsc->ntuc", m_blk, x3b,
+        preferred_element_type=jnp.float32,
+    )
+    block = jax.lax.ppermute(
+        block, axis_name, [(i, (i + 1) % k) for i in range(k)]
+    )
+    return acc, block, m_local
+
+
+def ring_unit_ctr_gc(
+    x1s: jax.Array,
+    x2s: jax.Array,
+    x3s: jax.Array,
+    w4s: jax.Array,
+    b4s: jax.Array,
+    alpha: jax.Array,
+    As: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "model",
+    data_axis: str | None = "data",
+) -> jax.Array:
+    """Edge-partitioned CTR-GC unit aggregation: the dynamic-adjacency
+    contraction of reference models/ctrgcn.py:172-177 with the JOINT axis
+    sharded over `axis_name` (the north star's per-channel-adjacency case).
+
+    Semantics identical to ops.aggregation.unit_ctr_gc_xla:
+
+        M_s[u,v,c]  = (tanh(x1_s[u] - x2_s[v]) @ w4_s + b4_s) * alpha + A_s
+        out[t,u,c]  = sum_s sum_v M_s[u,v,c] * x3_s[t,v,c]
+
+    Distribution: each chip owns the M rows of its V/k OUT joints — an
+    (N, S, V/k, V, C) slab, 1/k of the per-channel dynamic adjacency, built
+    locally from the replicated (tiny) x1/x2 embeddings — while the ring
+    forwards the x3 joint blocks (lax.ppermute), overlapping the boundary
+    feature exchange with the local refine+aggregate contraction. The
+    leading batch axis keeps its `data_axis` (DP) sharding. V is padded to a
+    multiple of the axis size with zero joints (zero x3 columns contribute
+    nothing; padded out rows are dropped), so NTU's V=25 rings over any
+    mesh. With axis size 1 this degrades to the dense op.
+    """
+    from ..ops.aggregation import unit_ctr_gc_xla
+
+    k = mesh.shape[axis_name]
+    if k == 1:
+        return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
+    N, S, V, R = x1s.shape
+    C = x3s.shape[-1] // S
+    Vp = -(-V // k) * k
+    if Vp != V:
+        pad = Vp - V
+        x1s = jnp.pad(x1s, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        x2s = jnp.pad(x2s, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        x3s = jnp.pad(x3s, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        As = jnp.pad(As, ((0, 0), (0, pad), (0, pad)))
+    vb = Vp // k
+    if data_axis is not None and mesh.shape.get(data_axis, 1) == 1:
+        data_axis = None
+
+    repl = P(data_axis, None, None, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            repl,  # x1s (N, S, Vp, R) — replicated over the ring axis
+            repl,  # x2s
+            P(data_axis, None, axis_name, None),  # x3s (N, T, Vp, S*C)
+            P(None, None, None),                  # w4s
+            P(None, None),                        # b4s
+            P(None,),                             # alpha
+            P(None, None, None),                  # As
+        ),
+        out_specs=P(data_axis, None, axis_name, None),
+        check_rep=False,
+    )
+    def run(x1f, x2f, x3l, w4, b4, al, A):
+        me = jax.lax.axis_index(axis_name)
+        # rows of M owned here: this chip's OUT joints
+        x1l = jax.lax.dynamic_slice_in_dim(x1f, me * vb, vb, axis=2)
+        Al = jax.lax.dynamic_slice_in_dim(A, me * vb, vb, axis=1)
+        d = jnp.tanh(
+            x1l[:, :, :, None, :].astype(jnp.float32)
+            - x2f[:, :, None, :, :].astype(jnp.float32)
+        )  # (N, S, vb, Vp, R)
+        m = jnp.einsum(
+            "nsuvr,src->nsuvc", d, w4.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        m = (m + b4[None, :, None, None, :]) * al[0] + Al[None, :, :, :, None]
+        acc = jnp.zeros(x3l.shape[:2] + (vb, C), jnp.float32)
+        acc, _, _ = jax.lax.fori_loop(
+            0, k,
+            partial(_ring_body_ctr_gc, axis_name=axis_name, k=k, S=S),
+            (acc, x3l.astype(jnp.float32), m),
+        )
+        return acc.astype(x3l.dtype)
+
+    out = run(x1s, x2s, x3s, w4s, b4s, jnp.reshape(alpha, (1,)), As)
+    return out[:, :, :V, :]
+
+
 def shard_joints(mesh: Mesh, x: jax.Array, axis_name: str = "model"):
     """Place (..., V, C) with the joint axis sharded over `axis_name`."""
     spec = P(*([None] * (x.ndim - 2)), axis_name, None)

@@ -94,6 +94,17 @@ class RecognitionTrainer:
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
             )
+        if arg.phase != "train":
+            self._ensure_test_loader()
+
+    def _ensure_test_loader(self):
+        """Build the val feeder/loader on first use. Training must start
+        without a loadable val split (the reference Processor never touches
+        val until eval, processor/recognition_rgb.py:71-101) — so in the
+        train phase this is deferred until the first eval interval."""
+        if "test" in self.loaders:
+            return
+        arg = self.arg
         test_args = dict(arg.test_feeder_args)
         test_args.setdefault("split", "val")
         self.test_feeder = get_feeder(arg.feeder, **test_args)
@@ -134,8 +145,14 @@ class RecognitionTrainer:
 
     def _example_batch(self):
         """Zero batch matching the feeder's model inputs (all items except
-        the trailing label and index/name)."""
-        first = self.test_feeder[0]
+        the trailing label and index/name). Shapes come from the train
+        feeder in the train phase — a pure training run must not require the
+        val split to exist (reference trains without touching val until
+        eval, processor/recognition_rgb.py:103-126)."""
+        feeder = (
+            self.train_feeder if self.arg.phase == "train" else self.test_feeder
+        )
+        first = feeder[0]
         n = max(self.mesh.size, 2)
         return tuple(
             jnp.zeros((n,) + np.asarray(a).shape, np.asarray(a).dtype)
@@ -266,7 +283,19 @@ class RecognitionTrainer:
         # affine, so a whole TCN_GCN_unit runs in one VMEM pass. CTRGCN only.
         from ..models.ctrgcn import CTRGCN
 
-        if getattr(self.arg, "fast_eval", False) and isinstance(model, CTRGCN):
+        fast_eval = getattr(self.arg, "fast_eval", False)
+        if fast_eval and not isinstance(model, CTRGCN):
+            self.print_log(
+                "WARNING: --fast_eval only applies to CTRGCN models; "
+                f"ignored for {type(model).__name__} (ordinary eval path)."
+            )
+        if fast_eval and getattr(self.arg, "sequence_parallel", False):
+            raise ValueError(
+                "--fast_eval and --sequence_parallel are mutually exclusive: "
+                "the fused block kernels have no partitioning spec for a "
+                "sharded time axis. Drop one of the flags."
+            )
+        if fast_eval and isinstance(model, CTRGCN):
             from ..models.ctrgcn_infer import make_fast_eval_fn
 
             fast_fn = make_fast_eval_fn(model)
@@ -402,11 +431,27 @@ class RecognitionTrainer:
         t0 = time.time()
         nseen = 0
 
+        sp_train = (
+            getattr(arg, "sequence_parallel", False)
+            and self.mesh.shape.get("model", 1) > 1
+        )
+
         def put(batch):
             """Producer-thread H2D: overlaps the next batch's transfer +
-            augmentation with the current step (loader.prefetch)."""
+            augmentation with the current step (loader.prefetch). Under
+            --sequence_parallel the skeleton inputs' TIME axis additionally
+            rides the 'model' mesh axis for the TRAIN step too — GSPMD
+            inserts the temporal-conv halo exchanges, and the batch-stat BN
+            reductions stay global (mean over a sharded axis is partitioned
+            with the matching collectives), so the sp step is numerically
+            the replicated step (tests/test_sharding.py)."""
             inputs, label = batch[:-2], batch[-2]
-            sharded = shard_batch(self.mesh, *inputs, label.astype(np.int32))
+            if sp_train:
+                sharded = self._sp_put(inputs, label)
+            else:
+                sharded = shard_batch(
+                    self.mesh, *inputs, label.astype(np.int32)
+                )
             return sharded[:-1], sharded[-1]
 
         for it, (inputs, label) in enumerate(prefetch(iter(loader), put)):
@@ -443,10 +488,24 @@ class RecognitionTrainer:
         forward, now reachable from the trainer)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        m = self.mesh.shape["model"]
+
         def spec(a):
             if a.ndim == 5:
+                if a.shape[2] % m:
+                    raise ValueError(
+                        f"--sequence_parallel: time axis T={a.shape[2]} is "
+                        f"not divisible by the 'model' mesh axis ({m}); pick "
+                        "a model_parallel that divides T or pad the clips."
+                    )
                 return P("data", None, "model")
             if a.ndim == 3:
+                if a.shape[1] % m:
+                    raise ValueError(
+                        f"--sequence_parallel: time axis T={a.shape[1]} is "
+                        f"not divisible by the 'model' mesh axis ({m}); pick "
+                        "a model_parallel that divides T or pad the clips."
+                    )
                 return P("data", "model")
             return P("data")
 
@@ -458,6 +517,7 @@ class RecognitionTrainer:
         )
 
     def test_epoch(self):
+        self._ensure_test_loader()
         loader = self.loaders["test"]
         losses, scores, labels = [], [], []
         sp_eval = (

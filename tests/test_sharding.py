@@ -197,3 +197,138 @@ def test_stgcn_ring_train_step_matches_dense():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
         )
+
+
+def test_ring_unit_ctr_gc_matches_dense():
+    """Edge-partitioned CTR-GC aggregation (joint axis ringed over 'model')
+    equals the dense unit op — incl. the NTU V=25 case where the joint axis
+    pads to the mesh axis (zero joints contribute nothing)."""
+    from jax.sharding import Mesh
+
+    from tamgcn_tpu.ops.aggregation import unit_ctr_gc_xla
+    from tamgcn_tpu.parallel.graph_parallel import ring_unit_ctr_gc
+
+    rs = np.random.RandomState(11)
+    for V in (20, 25):  # 20 divides the axis; 25 exercises padding
+        N, T, C, R, S = 4, 6, 16, 8, 3
+        x1 = jnp.asarray(rs.randn(N, S, V, R), jnp.float32)
+        x2 = jnp.asarray(rs.randn(N, S, V, R), jnp.float32)
+        x3 = jnp.asarray(rs.randn(N, T, V, S * C), jnp.float32)
+        w4 = jnp.asarray(rs.randn(S, R, C) * 0.1, jnp.float32)
+        b4 = jnp.asarray(rs.randn(S, C) * 0.1, jnp.float32)
+        alpha = jnp.asarray([0.3], jnp.float32)
+        A = jnp.asarray(rs.rand(S, V, V) * 0.1, jnp.float32)
+
+        want = np.asarray(unit_ctr_gc_xla(x1, x2, x3, w4, b4, alpha, A))
+        mesh = make_mesh(2, 4)
+        with mesh:
+            got = jax.jit(
+                lambda *a: ring_unit_ctr_gc(*a, mesh=mesh)
+            )(x1, x2, x3, w4, b4, alpha, A)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_ctrgcn_ring_train_step_matches_dense():
+    """A full CTRGCN train step with graph_partition='ring' (dp=2 x model=4)
+    equals the dense step — the north-star case: the per-channel dynamic
+    adjacency is built as locally-held M rows against ringed x3 blocks."""
+    from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.parallel.sharded import SharedTrainState, make_train_step
+    from tamgcn_tpu.train.optim import make_optimizer
+
+    mesh = make_mesh(2, 4)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(4, 3, 16, 20, 1), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    tx = make_optimizer("SGD", 0.01, steps_per_epoch=10)
+
+    dense = create_ctrgcn_nucla(use_pallas=False)
+    ring = create_ctrgcn_nucla(
+        use_pallas=False, graph_partition="ring", mesh=mesh
+    )
+    variables = dense.init(jax.random.PRNGKey(0), x, train=False)
+
+    def one_step(model, sharded):
+        state = SharedTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        step = jax.jit(make_train_step(model, tx))
+        if sharded:
+            state = jax.device_put(state, replicated(mesh))
+            xs = jax.device_put(x, batch_sharding(mesh))
+            ls = jax.device_put(labels, batch_sharding(mesh))
+            with mesh:
+                state, loss, _ = step(state, xs, ls, jax.random.PRNGKey(1))
+        else:
+            state, loss, _ = step(state, x, labels, jax.random.PRNGKey(1))
+        return float(loss), state
+
+    loss_d, state_d = one_step(dense, sharded=False)
+    loss_r, state_r = one_step(ring, sharded=True)
+    assert loss_r == pytest.approx(loss_d, rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_d.params),
+        jax.tree_util.tree_leaves(state_r.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+        )
+
+
+@pytest.mark.slow
+def test_sp_train_step_matches_replicated():
+    """Sequence-parallel TRAINING (round-3): the full CTRGCN train step with
+    the batch's T axis sharded over 'model' equals the replicated step —
+    GSPMD halo-exchanges the temporal convs and keeps the batch-stat BN
+    reductions global (SURVEY §5 long-context; the CP analog)."""
+    from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.parallel.sharded import SharedTrainState, make_train_step
+    from tamgcn_tpu.train.optim import make_optimizer
+
+    mesh = make_mesh(2, 4)
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(4, 3, 16, 20, 1), jnp.float32)  # T=16 / 4 shards
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    tx = make_optimizer("SGD", 0.01, steps_per_epoch=10)
+    model = create_ctrgcn_nucla(use_pallas=False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def one_step(sharded):
+        state = SharedTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        step = jax.jit(make_train_step(model, tx))
+        if sharded:
+            state = jax.device_put(state, replicated(mesh))
+            xs = jax.device_put(
+                x, NamedSharding(mesh, P("data", None, "model"))
+            )
+            ls = jax.device_put(labels, NamedSharding(mesh, P("data")))
+            with mesh:
+                state, loss, _ = step(state, xs, ls, jax.random.PRNGKey(1))
+        else:
+            state, loss, _ = step(state, x, labels, jax.random.PRNGKey(1))
+        return float(loss), state
+
+    loss_rep, state_rep = one_step(sharded=False)
+    loss_sp, state_sp = one_step(sharded=True)
+    assert loss_sp == pytest.approx(loss_rep, rel=1e-5)
+    # updated params AND the new BN running stats (the cross-shard batch-stat
+    # reductions are the part SURVEY flags) must agree
+    for tree_a, tree_b in (
+        (state_rep.params, state_sp.params),
+        (state_rep.batch_stats, state_sp.batch_stats),
+    ):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tree_a), jax.tree_util.tree_leaves(tree_b)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+            )

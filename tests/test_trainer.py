@@ -110,6 +110,29 @@ def test_end_to_end_smoke_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_starts_without_val_split(tmp_path):
+    """Regression (round-2 verdict weak #5): a pure --phase train run must
+    construct and train without a loadable val split — the example batch
+    comes from the train feeder, and the val feeder is built lazily on the
+    first eval (reference trains without touching val until eval,
+    processor/recognition_rgb.py:103-126)."""
+    from tamgcn_tpu.train.trainer import RecognitionTrainer
+
+    arg = load_config(
+        ["-c", "configs/nucla/smoke.yaml", "-w", str(tmp_path / "noval"),
+         # an arg the synthetic feeder rejects: constructing the val feeder
+         # raises, so the test proves it is never constructed during training
+         "--test_feeder_args", "num_samples='boom'"]
+    )
+    trainer = RecognitionTrainer(arg)
+    assert "test" not in trainer.loaders
+    loss = trainer.train_epoch(0)
+    assert np.isfinite(loss)
+    with pytest.raises(TypeError):
+        trainer.test_epoch()  # the val split really is unloadable
+
+
+@pytest.mark.slow
 def test_test_phase_requires_weights(tmp_path):
     from tamgcn_tpu.train.trainer import RecognitionTrainer
 
