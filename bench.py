@@ -63,8 +63,11 @@ def bench_kernel(n=64, t=52, v=20, c=64, r=8, s=3):
     from tamgcn_tpu.utils.roofline import unit_ctr_gc_sol
     from tamgcn_tpu.utils.timing import time_chained
 
-    dt_pallas = time_chained(_unit_ctr_gc_pallas, feed_pallas, args, chain=30, iters=5)
-    dt_xla = time_chained(unit_ctr_gc_xla, feed_pallas, args, chain=30, iters=5)
+    # chain*iters large enough that the one ~30 ms relay D2H sync amortizes
+    # below ~2% of a call (round-2 used 30x5 = ~200 us/call of bias on a
+    # ~450 us kernel; see docs/KERNELS.md measurement notes)
+    dt_pallas = time_chained(_unit_ctr_gc_pallas, feed_pallas, args, chain=60, iters=20)
+    dt_xla = time_chained(unit_ctr_gc_xla, feed_pallas, args, chain=60, iters=10)
     edges = n * t * v * v * s
     sol = unit_ctr_gc_sol(n, t, v, c, r, s)
     pct_sol = sol["t_sol"] / dt_pallas

@@ -141,7 +141,11 @@ class NUCLAFeederGCN:
             data = T.to_motion(data)
 
         data = np.transpose(data, (2, 0, 1)).reshape(3, self.time_steps, 20, 1)
-        out = data.astype(self.dtype)
+        # round through f32 first in every dtype mode: the reference feeder
+        # emits f32 (reference :154), so a float64 consumer (the f64
+        # equivalence harness) must see the same f32-rounded values widened,
+        # not the unrounded f64 pipeline values
+        out = data.astype(np.float32).astype(self.dtype)
         if self.load_rgb:
             rgb = self._load_last_rgb_frame(index)
             return out, rgb, label, index

@@ -331,6 +331,120 @@ def _unit_fwd_kernel_bcast(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
     out_ref[:] = res.astype(out_ref.dtype)
 
 
+def _unit_fwd_kernel_tile(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
+                          At_ref, out_ref, mt_scr, *, c: int, lt: int = 128,
+                          nacc: int = 1):
+    """Register-tiled broadcast forward (round-3 default): same math as
+    _unit_fwd_kernel_bcast, restructured around the measured bottleneck.
+
+    The full-width broadcast schedule reads AND writes the whole (BN, BT, V,
+    S*C) accumulator from VMEM on every one of the V steps (~2 MB x 20
+    per sample at the deep shape) — probes show that VMEM traffic, not FMA
+    issue, binds it (a pure-FMA chain with register-reused operands measures
+    SLOWER than the production kernel; tools/exp_stage2.py). This schedule
+    tiles the OUTPUT lane axis: each (BN, BT, V, lt<=128) accumulator tile
+    stays in registers across all S*V accumulation steps (two interleaved
+    chains for ILP) and is written once — and because the chain runs over
+    subsets as well as source joints, the subset reduction costs nothing
+    extra. Measured 365 us vs 460 us for the full-width broadcast stage-2
+    at (N=64, T=13, C=256) on the v5e.
+    """
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    mm_dtype = jnp.bfloat16 if x3_ref.dtype == jnp.bfloat16 else jnp.float32
+    for s in range(S):
+        x1 = x1_ref[:, s].astype(jnp.float32)   # (BN, V_u, R)
+        x2 = x2_ref[:, s].astype(jnp.float32)
+        ds = []
+        for v in range(V):
+            ds.append(x1 - x2[:, v:v + 1, :])   # D^T[v, u]
+        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, v, u, R)
+        mt = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                     w4_ref[s].astype(mm_dtype),
+                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        # through a VMEM scratch: stage-2 then reads (u, lane-tile) slices
+        # from a REF with plain addressing — slicing the live VALUE instead
+        # makes Mosaic relayout/spill the whole (BN, V, V, C) tensor per use
+        mt_scr[:, s] = ((mt + b4_ref[s][None]) * alpha
+                        + At_ref[s][None, :, :, None])
+    BT = x3_ref.shape[1]
+    tc = int(os.environ.get("TAMGCN_TILE_TC", "4"))
+    nacc = int(os.environ.get("TAMGCN_TILE_NACC", str(nacc)))
+    # stage 2: per (t-chunk, 128-lane) out tile, one register-resident chain
+    # over all (s, v) terms; the t-chunk bounds the live accumulator at
+    # tc * V/8 * lt/128 vregs per chain so Mosaic does not spill it, and
+    # `nacc` interleaved partial chains expose ILP
+    steps = [(s, v) for s in range(S) for v in range(V)]
+    for t0 in range(0, BT, tc):
+        th = min(tc, BT - t0)
+        for l0 in range(0, c, lt):
+            w = min(lt, c - l0)
+            accs = []
+            for a0 in range(nacc):
+                acc = None
+                for s, v in steps[a0::nacc]:
+                    term = (
+                        mt_scr[:, s, v, :, l0:l0 + w][:, None]
+                        * x3_ref[:, t0:t0 + th, v:v + 1,
+                                 s * c + l0:s * c + l0 + w]
+                        .astype(jnp.float32)
+                    )
+                    acc = term if acc is None else acc + term
+                accs.append(acc)
+            res = accs[0]
+            for a in accs[1:]:
+                res = res + a
+            out_ref[:, t0:t0 + th, :, l0:l0 + w] = res.astype(out_ref.dtype)
+
+
+def _unit_bwd_dx3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
+                              alpha_ref, A_ref, dx3_ref, m_scr, *, c: int,
+                              lt: int = 128, nacc: int = 1):
+    """Register-tiled data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c]
+    with each (BN, BT, V, lt) output tile accumulated in registers over the
+    V source joints (same rationale as _unit_fwd_kernel_tile); the packed
+    S*C output never needs the g replica the full-width form concatenated."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
+    for s in range(S):
+        x1 = x1_ref[:, s].astype(jnp.float32)
+        x2 = x2_ref[:, s].astype(jnp.float32)   # (BN, V_v, R)
+        ds = []
+        for u in range(V):
+            ds.append(x1[:, u:u + 1, :] - x2)   # D[u, v]
+        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
+        m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                    w4_ref[s].astype(mm_dtype),
+                    preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+        m_scr[:, s] = ((m + b4_ref[s][None]) * alpha
+                       + A_ref[s][None, :, :, None])
+    BT = g_ref.shape[1]
+    tc = int(os.environ.get("TAMGCN_TILE_TC", "4"))
+    nacc = int(os.environ.get("TAMGCN_TILE_NACC", str(nacc)))
+    for t0 in range(0, BT, tc):
+        th = min(tc, BT - t0)
+        for s in range(S):
+            for l0 in range(0, c, lt):
+                w = min(lt, c - l0)
+                accs = []
+                for a0 in range(nacc):
+                    acc = None
+                    for u in range(a0, V, nacc):
+                        term = (
+                            m_scr[:, s, u, :, l0:l0 + w][:, None]
+                            * g_ref[:, t0:t0 + th, u:u + 1, l0:l0 + w]
+                            .astype(jnp.float32)
+                        )
+                        acc = term if acc is None else acc + term
+                    accs.append(acc)
+                res = accs[0]
+                for a in accs[1:]:
+                    res = res + a
+                dx3_ref[:, t0:t0 + th, :, s * c + l0:s * c + l0 + w] = (
+                    res.astype(dx3_ref.dtype))
+
+
 def _unit_bwd_dx3_kernel_bcast(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
                                alpha_ref, A_ref, dx3_ref, *, c: int):
     """Broadcast-form data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c].
@@ -364,6 +478,97 @@ def _unit_bwd_dx3_kernel_bcast(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
     for u in range(1, V):
         acc = acc + mcat[:, u][:, None] * gr[:, :, u:u + 1, :]
     dx3_ref[:] = acc.astype(dx3_ref.dtype)
+
+
+def _unit_bwd_param_kernel_tile(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
+                                b4_ref, alpha_ref,
+                                dx1_ref, dx2_ref, dw4_ref, db4_ref, dAt_ref,
+                                dalpha_ref, dmt_scr, *, c: int,
+                                lt: int = 128):
+    """Register-tiled phase B of the broadcast-form parameter gradients.
+
+    The full-width form materialises a (BN, BT, V, S*C) product per source
+    joint and reduces it from VMEM; here each (BN, V_u, lt) dm^T tile is
+    accumulated over the whole T-block in registers (one 3-vreg FMA per
+    frame) and touches the dmt scratch once per (v, s, tile). Phase C is the
+    unchanged broadcast-form epilogue (same math, same accumulation across
+    sample blocks)."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    BT = g_ref.shape[1]
+    j = pl.program_id(1)
+    first = j == 0
+
+    # ---- phase B (tiled): dm^T[v, u, sc] += sum_t x3[t, v, sc] g[t, u, c]
+    for v in range(V):
+        for s in range(S):
+            for l0 in range(0, c, lt):
+                w = min(lt, c - l0)
+                acc = None
+                for t in range(BT):
+                    term = (
+                        g_ref[:, t, :, l0:l0 + w].astype(jnp.float32)
+                        * x3_ref[:, t, v, s * c + l0:s * c + l0 + w]
+                        .astype(jnp.float32)[:, None, :]
+                    )
+                    acc = term if acc is None else acc + term
+                sl = (slice(None), v, slice(None),
+                      slice(s * c + l0, s * c + l0 + w))
+                dmt_scr[sl] = jnp.where(first, acc, dmt_scr[sl] + acc)
+
+    # ---- phase C: identical epilogue to the bcast kernel -------------------
+    _param_phase_c(x1_ref, x2_ref, w4_ref, b4_ref, alpha, dmt_scr,
+                   dx1_ref, dx2_ref, dw4_ref, db4_ref, dAt_ref, dalpha_ref,
+                   c=c)
+
+
+def _param_phase_c(x1_ref, x2_ref, w4_ref, b4_ref, alpha, dmt_scr,
+                   dx1_ref, dx2_ref, dw4_ref, db4_ref, dAt_ref, dalpha_ref,
+                   *, c: int):
+    """Phase C (last T-block): all parameter gradients from the accumulated
+    dm^T scratch — two small MXU matmuls per subset, shared outputs
+    accumulated across sample blocks. Runs under pl.when(last T-block)."""
+    BN, S, V, R = x1_ref.shape
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    first_sample_block = pl.program_id(0) == 0
+
+    @pl.when(j == nt - 1)
+    def _param_grads():
+        def accum(ref, idx, val):
+            # under jax_enable_x64 some reductions weak-promote to f64;
+            # the parameter-grad outputs are f32 refs by construction
+            val = val.astype(ref.dtype)
+            ref[idx] = jnp.where(first_sample_block, val, ref[idx] + val)
+
+        dalpha_local = jnp.zeros((1, 1), jnp.float32)
+        for s in range(S):
+            dmt_s = dmt_scr[:, :, :, s * c:(s + 1) * c]  # (BN, v, u, c)
+            x1 = x1_ref[:, s].astype(jnp.float32)
+            x2 = x2_ref[:, s].astype(jnp.float32)
+            ds = []
+            for v in range(V):
+                ds.append(x1 - x2[:, v:v + 1, :])  # D^T[v, u]
+            dstack = jnp.tanh(jnp.stack(ds, axis=1))   # (BN, v, u, R)
+            d2 = dstack.reshape(BN * V * V, R)
+            dmt2 = dmt_s.reshape(BN * V * V, c)
+            accum(dAt_ref, s, jnp.sum(dmt_s, axis=(0, 3)))
+            accum(db4_ref, s, alpha * jnp.sum(dmt2, axis=0)[None, :])
+            accum(dw4_ref, s, alpha * jax.lax.dot_general(
+                d2, dmt2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            p = jnp.dot(d2, w4_ref[s],
+                        preferred_element_type=jnp.float32) + b4_ref[s]
+            dalpha_local = dalpha_local + jnp.sum(dmt2 * p).reshape(1, 1)
+            dd_r = jax.lax.dot_general(
+                dmt2, w4_ref[s], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpre = (alpha * dd_r * (1.0 - d2 * d2)).reshape(BN, V, V, R)
+            dx1_ref[:, s] = jnp.sum(dpre, axis=1).astype(dx1_ref.dtype)
+            dx2_ref[:, s] = (-jnp.sum(dpre, axis=2)).astype(dx2_ref.dtype)
+        accum(dalpha_ref, (slice(None), slice(None)), dalpha_local)
 
 
 def _unit_bwd_param_kernel_bcast(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
@@ -406,6 +611,9 @@ def _unit_bwd_param_kernel_bcast(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
     @pl.when(j == nt - 1)
     def _param_grads():
         def accum(ref, idx, val):
+            # under jax_enable_x64 some reductions weak-promote to f64;
+            # the parameter-grad outputs are f32 refs by construction
+            val = val.astype(ref.dtype)
             ref[idx] = jnp.where(first_sample_block, val, ref[idx] + val)
 
         dalpha_local = jnp.zeros((1, 1), jnp.float32)
@@ -529,6 +737,9 @@ def _unit_bwd_param_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref,
     @pl.when(j == nt - 1)
     def _param_grads():
         def accum(ref, idx, val):
+            # under jax_enable_x64 some reductions weak-promote to f64;
+            # the parameter-grad outputs are f32 refs by construction
+            val = val.astype(ref.dtype)
             ref[idx] = jnp.where(first_sample_block, val, ref[idx] + val)
 
         dalpha_local = jnp.zeros((1, 1), jnp.float32)
@@ -666,16 +877,22 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As,
     """Forward kernel call. x1s/x2s (N,S,V,R); x3s (N,T,V,S*C); w4s (S,R,C);
     b4s (S,C); alpha (1,); As (S,V,V) -> out (N,T,V,C).
 
-    form: 'bcast' (default; source-joint broadcast schedule) or 'roll'
-    (roll-diagonal schedule) — same numerics, different VPU data movement;
-    TAMGCN_CTR_GC_FORM overrides for benchmarking."""
-    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "bcast")
+    form: 'tile' (default; register-tiled broadcast schedule), 'bcast'
+    (full-width broadcast) or 'roll' (roll-diagonal) — same numerics,
+    different VPU data movement; TAMGCN_CTR_GC_FORM overrides for
+    benchmarking."""
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "tile")
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     bn, bt = _unit_block_n(N, T, V, C, S)
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
-    if form == "bcast":
+    scratch = []
+    if form == "tile":
+        kernel = functools.partial(_unit_fwd_kernel_tile, c=C)
+        Ad = jnp.swapaxes(As, -1, -2)  # At[s, v, u] = A[s, u, v]
+        scratch = [pltpu.VMEM((bn, S, V, V, C), jnp.float32)]
+    elif form == "bcast":
         kernel = functools.partial(_unit_fwd_kernel_bcast, c=C)
         Ad = jnp.swapaxes(As, -1, -2)  # At[s, v, u] = A[s, u, v]
     else:
@@ -696,6 +913,7 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As,
         out_specs=pl.BlockSpec((bn, bt, V, C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, T, V, C), x3s.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -718,13 +936,17 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
     (the original roll-diagonal schedule), TAMGCN_CTR_GC_FORM overrides —
     dAs comes back from the kernel's transposed/diagonal layout accordingly.
     """
-    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "bcast")
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "tile")
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     interp = _interpret_default()
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
-    if form == "bcast":
+    if form == "tile":
+        dx3_kernel = _unit_bwd_dx3_kernel_tile
+        param_kernel = _unit_bwd_param_kernel_tile
+        Atd = As  # natural (u, v) layout, no gather
+    elif form == "bcast":
         dx3_kernel = _unit_bwd_dx3_kernel_bcast
         param_kernel = _unit_bwd_param_kernel_bcast
         Atd = As  # natural (u, v) layout, no gather
@@ -736,6 +958,9 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
 
     # kernel 1: dx3 (same footprint class as the forward kernel)
     bn, bt = _unit_block_n(N, T, V, C, S)
+    dx3_scratch = (
+        [pltpu.VMEM((bn, S, V, V, C), jnp.float32)] if form == "tile" else []
+    )
     dx3s = pl.pallas_call(
         functools.partial(dx3_kernel, c=C),
         grid=(N // bn, T // bt),
@@ -751,6 +976,7 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
         out_specs=pl.BlockSpec((bn, bt, V, S * C), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, T, V, S * C), x3s.dtype),
+        scratch_shapes=dx3_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -811,7 +1037,7 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
         ),
         interpret=interp,
     )(x1s, x2s, g, x3s, w4s, b4r, alpha2d)
-    if form == "bcast":
+    if form in ("tile", "bcast"):
         # dAt is in transposed (v, u) layout
         dAs = jnp.swapaxes(dAd, -1, -2).astype(As.dtype)
     else:

@@ -164,7 +164,7 @@ def test_unit_vjp_matches_xla():
         )
 
 
-@pytest.mark.parametrize("form", ["roll", "bcast"])
+@pytest.mark.parametrize("form", ["roll", "bcast", "tile"])
 def test_unit_vjp_both_forms_match_xla(form, monkeypatch):
     """Both kernel schedules (serial roll-diagonal and source-joint
     broadcast) compute the identical op, forward and full gradient set."""

@@ -302,10 +302,10 @@ def _run_ours(synth_root, work_dir, init_npz):
         "--train_feeder_args",
         f"data_path='{synth_root}'", "split='train'", "repeat=1",
         "random_rotation_deg=0", "scale_range=(1.0,1.0)",
-        "backend='numpy'", "debug=True",
+        "backend='numpy'", "debug=True", "dtype='float64'",
         "--test_feeder_args",
         f"data_path='{synth_root}'", "split='val'",
-        "backend='numpy'", "debug=True",
+        "backend='numpy'", "debug=True", "dtype='float64'",
         "--model", "ctrgcn",
         "--model_args",
         "{'num_class': 10, 'num_point': 20, 'num_person': 1, "
