@@ -132,19 +132,27 @@ def bench_train_step(batch=64, dtype=None, ntu=False):
     return batch / dt
 
 
-def bench_fast_eval(batch=64):
+def bench_fast_eval(batch=64, ntu=False):
     """Eval forward: flax apply vs the fused GCN+TCN block engine."""
     import jax
     import jax.numpy as jnp
 
     from tamgcn_tpu.models import create_ctrgcn_nucla
+    from tamgcn_tpu.models.ctrgcn import CTRGCN
     from tamgcn_tpu.models.ctrgcn_infer import make_fast_eval_fn
     from tamgcn_tpu.utils.timing import time_chained
 
-    model = create_ctrgcn_nucla(use_pallas=None)
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
-    )
+    if ntu:
+        model = CTRGCN(num_class=60, num_point=25, num_person=2,
+                       graph="ntu_rgb_d", use_pallas=None)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(batch, 3, 64, 25, 2), jnp.float32
+        )
+    else:
+        model = create_ctrgcn_nucla(use_pallas=None)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(batch, 3, 52, 20, 1), jnp.float32
+        )
     variables = model.init(jax.random.PRNGKey(0), x[:1])
     flax_eval = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
     fast = make_fast_eval_fn(model)
@@ -152,10 +160,11 @@ def bench_fast_eval(batch=64):
     def feed(out, args):
         return (args[0], args[1] + out.mean() * 1e-9)
 
-    dt_flax = time_chained(flax_eval, feed, (variables, x), chain=20, iters=5)
-    dt_fast = time_chained(fast, feed, (variables, x), chain=20, iters=5)
-    log(f"eval fwd (batch {batch}): flax {dt_flax*1e3:.2f} ms, fused-block "
-        f"engine {dt_fast*1e3:.2f} ms ({dt_flax/dt_fast:.2f}x)")
+    dt_flax = time_chained(flax_eval, feed, (variables, x), chain=20, iters=10)
+    dt_fast = time_chained(fast, feed, (variables, x), chain=20, iters=10)
+    tag = "NTU-60 V=25 T=64, " if ntu else ""
+    log(f"eval fwd ({tag}batch {batch}): flax {dt_flax*1e3:.2f} ms, "
+        f"fused-block engine {dt_fast*1e3:.2f} ms ({dt_flax/dt_fast:.2f}x)")
 
 
 def main():
@@ -178,6 +187,7 @@ def main():
         bf16 = bench_train_step(dtype=jnp.bfloat16)
         log(f"train throughput (bf16 mixed precision): {bf16:.1f} samples/s")
         bench_fast_eval()
+        bench_fast_eval(batch=32, ntu=True)  # the shape where the engine wins
         bench_train_step(batch=32, ntu=True)  # NTU-60 stretch config
     except Exception as e:  # keep the primary metric even if train bench dies
         log(f"train bench failed: {e}")

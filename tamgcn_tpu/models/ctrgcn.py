@@ -147,8 +147,14 @@ class UnitGCN(nn.Module):
                 name=name,
             )
 
-        e12 = packed_conv(2 * num_subset * R, 2 * num_subset, "conv12")(x)
-        e12 = e12.mean(axis=1)  # T-pooled (reference models/ctrgcn.py:173)
+        # conv12 commutes with the T pool (1x1 conv is linear:
+        # mean_T(Wx + b) = W mean_T(x) + b, reference models/ctrgcn.py:173
+        # computes conv-then-mean) — pooling FIRST does T x less matmul work
+        # in both the forward and the e12 backward; same math to fp
+        # reordering (the f64 trajectory tests bound the drift)
+        xm = jnp.mean(x, axis=1, keepdims=True)          # (N, 1, V, Cin)
+        e12 = packed_conv(2 * num_subset * R, 2 * num_subset, "conv12")(xm)
+        e12 = e12[:, 0]                                   # (N, V, 2*S*R)
         N, V = e12.shape[0], e12.shape[1]
         x1s = e12[..., : num_subset * R].reshape(N, V, num_subset, R)
         x1s = jnp.transpose(x1s, (0, 2, 1, 3))  # (N, S, V, R)
