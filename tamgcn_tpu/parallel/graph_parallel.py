@@ -192,7 +192,7 @@ def _ring_body_ctr_gc(s, carry, *, axis_name, k, S):
     # acc[n,t,u,c] += sum_{s,v} m_blk[n,s,u,v,c] * x3b[n,t,v,s,c]
     acc = acc + jnp.einsum(
         "nsuvc,ntvsc->ntuc", m_blk, x3b,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc.dtype,
     )
     block = jax.lax.ppermute(
         block, axis_name, [(i, (i + 1) % k) for i in range(k)]
@@ -267,24 +267,27 @@ def ring_unit_ctr_gc(
         check_rep=False,
     )
     def run(x1f, x2f, x3l, w4, b4, al, A):
+        # accumulate in at least f32; full f64 when the inputs are f64 (the
+        # x64 equivalence tests rely on it)
+        ct = jnp.promote_types(x3l.dtype, jnp.float32)
         me = jax.lax.axis_index(axis_name)
         # rows of M owned here: this chip's OUT joints
         x1l = jax.lax.dynamic_slice_in_dim(x1f, me * vb, vb, axis=2)
         Al = jax.lax.dynamic_slice_in_dim(A, me * vb, vb, axis=1)
         d = jnp.tanh(
-            x1l[:, :, :, None, :].astype(jnp.float32)
-            - x2f[:, :, None, :, :].astype(jnp.float32)
+            x1l[:, :, :, None, :].astype(ct)
+            - x2f[:, :, None, :, :].astype(ct)
         )  # (N, S, vb, Vp, R)
         m = jnp.einsum(
-            "nsuvr,src->nsuvc", d, w4.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+            "nsuvr,src->nsuvc", d, w4.astype(ct),
+            preferred_element_type=ct,
         )
         m = (m + b4[None, :, None, None, :]) * al[0] + Al[None, :, :, :, None]
-        acc = jnp.zeros(x3l.shape[:2] + (vb, C), jnp.float32)
+        acc = jnp.zeros(x3l.shape[:2] + (vb, C), ct)
         acc, _, _ = jax.lax.fori_loop(
             0, k,
             partial(_ring_body_ctr_gc, axis_name=axis_name, k=k, S=S),
-            (acc, x3l.astype(jnp.float32), m),
+            (acc, x3l.astype(ct), m),
         )
         return acc.astype(x3l.dtype)
 
