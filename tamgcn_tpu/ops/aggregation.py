@@ -155,14 +155,16 @@ def unit_ctr_gc(
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     tf = _tfold(C, T)
-    # Auto-dispatch stays on the XLA path below C=128. With the
-    # broadcast-form kernel the folded FORWARD now beats XLA at C=64
-    # (1156 vs 1275 us at T=52, batch 64) but the folded backward still
-    # loses, and end-to-end the train step is slower with Pallas at C=64
-    # (47.3 vs 45.7 ms/step, v5e batch 64) — see docs/KERNELS.md for the
-    # concession analysis. Explicit use_pallas=True takes the folded path.
+    # Auto-dispatch (round 3): with the register-tiled kernels the FOLDED
+    # narrow-channel path now beats XLA end-to-end too — the full CTRGCN
+    # train step measures 38.4 ms with every layer on Pallas vs 40.3 ms
+    # with the old C >= 128 split (v5e, batch 64). Folding requires the
+    # lane fold to be exact (C divides 128 and tf divides T); other narrow
+    # widths keep the XLA path.
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and C >= 128
+        use_pallas = jax.default_backend() == "tpu" and (
+            C >= 128 or tf > 1
+        )
     if not use_pallas:
         return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
     if C >= 128 or tf == 1:
