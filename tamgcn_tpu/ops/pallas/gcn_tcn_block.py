@@ -63,9 +63,9 @@ def _block_kernel(x_ref, x1_ref, x2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
     adjacency is built once per sample block (first T-block) into the
     `mt_scr` VMEM scratch and reused across the sample's T-blocks."""
     if identity_res:
-        prefix_ref, pw_ref, mt_scr = rest
+        prefix_ref, pw_ref, mt_scr, x3_scr = rest
     else:
-        wd_ref, bd_ref, prefix_ref, pw_ref, mt_scr = rest
+        wd_ref, bd_ref, prefix_ref, pw_ref, mt_scr, x3_scr = rest
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
     Cin = x_ref.shape[-1]
@@ -90,23 +90,35 @@ def _block_kernel(x_ref, x1_ref, x2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
                        + At_ref[s][None, :, :, None])
         mt_scr[:] = jnp.concatenate(mts, axis=-1)   # (BN, v, u, S*c)
 
-    mtcat = mt_scr[:]
-
     # ---- packed conv3 (x3 never leaves VMEM) ------------------------------
     xr = x_ref[:].astype(jnp.float32)           # (BN, BT, V, Cin)
     BT = xr.shape[1]
     rows = xr.reshape(BN * BT * V, Cin)
     x3 = jnp.dot(rows.astype(mm), w3_ref[:].astype(mm),
                  preferred_element_type=jnp.float32) + b3_ref[0]
-    x3 = x3.reshape(BN, BT, V, S * c)
+    x3_scr[:] = x3.reshape(BN, BT, V, S * c)
 
-    # ---- stage 2: source-joint broadcast aggregation ----------------------
-    acc = mtcat[:, 0][:, None] * x3[:, :, 0:1, :]
-    for v in range(1, V):
-        acc = acc + mtcat[:, v][:, None] * x3[:, :, v:v + 1, :]
-    y = acc[..., 0:c]
-    for s in range(1, S):
-        y = y + acc[..., s * c:(s + 1) * c]
+    # ---- stage 2: register-tiled aggregation (see ctr_gc.py tile form:
+    # each (BN, tc, V, 128) out tile accumulates in registers over all
+    # (s, v) terms, with BOTH operands read as ref slices — value slicing
+    # makes Mosaic relayout the whole tensor per step) ----------------------
+    steps2 = [(sb, v) for sb in range(S) for v in range(V)]
+    y_parts = []
+    for t0 in range(0, BT, 4):
+        th = min(4, BT - t0)
+        l_parts = []
+        for l0 in range(0, c, 128):
+            w = min(128, c - l0)
+            acc2 = None
+            for sb, v in steps2:
+                term = (mt_scr[:, v, :, sb * c + l0:sb * c + l0 + w][:, None]
+                        * x3_scr[:, t0:t0 + th, v:v + 1,
+                                 sb * c + l0:sb * c + l0 + w])
+                acc2 = term if acc2 is None else acc2 + term
+            l_parts.append(acc2)
+        y_parts.append(l_parts[0] if len(l_parts) == 1
+                       else jnp.concatenate(l_parts, axis=-1))
+    y = y_parts[0] if len(y_parts) == 1 else jnp.concatenate(y_parts, axis=1)
 
     # ---- unit_gcn epilogue: BN affine, residual, TAM offset, relu ---------
     y = y * gy_ref[0] + gy_ref[1]
@@ -266,6 +278,7 @@ def gcn_tcn_block_fused(
         ],
         scratch_shapes=[
             pltpu.VMEM((bn, V, V, S * C), jnp.float32),
+            pltpu.VMEM((bn, bt, V, S * C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
