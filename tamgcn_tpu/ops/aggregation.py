@@ -156,14 +156,17 @@ def unit_ctr_gc(
     C = x3s.shape[-1] // S
     tf = _tfold(C, T)
     # Auto-dispatch (round 3): with the register-tiled kernels the FOLDED
-    # narrow-channel path now beats XLA end-to-end too — the full CTRGCN
-    # train step measures 38.4 ms with every layer on Pallas vs 40.3 ms
-    # with the old C >= 128 split (v5e, batch 64). Folding requires the
-    # lane fold to be exact (C divides 128 and tf divides T); other narrow
-    # widths keep the XLA path.
+    # narrow-channel path now beats XLA end-to-end at V=20 — the full
+    # CTRGCN train step measures 38.3 ms with every layer on Pallas vs
+    # 40.3 ms with the old C >= 128 split (v5e, batch 64, NW-UCLA). At
+    # V=25 the fold LOSES (NTU train step 92 -> 106 ms): the 25 -> 32
+    # sublane pad wastes 28% of every VPU op and the halved T shrinks the
+    # blocks. Fold only when the lane fold is exact (C divides 128, tf
+    # divides T) and the joint axis pads mildly (V <= 20 -> 24 sublanes).
     if use_pallas is None:
+        V_ = x1s.shape[2]
         use_pallas = jax.default_backend() == "tpu" and (
-            C >= 128 or tf > 1
+            C >= 128 or (tf > 1 and V_ <= 20)
         )
     if not use_pallas:
         return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
