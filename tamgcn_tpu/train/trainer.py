@@ -188,9 +188,20 @@ class RecognitionTrainer:
 
     def _import_npz(self, state: dict):
         """Map a reference-exported torch state-dict .npz onto this model's
-        variable tree. Overridden per model family."""
-        from ..utils.torch_import import import_ctrgcn_state_dict
+        variable tree, dispatched on the configured model family (the
+        cross-modal trainer overrides this for its fusion-specific
+        GCN-submodule loading)."""
+        from ..utils.torch_import import (
+            import_ctrgcn_state_dict,
+            import_resnet_state_dict,
+            import_stgcn_state_dict,
+        )
 
+        name = str(getattr(self.arg, "model", "ctrgcn"))
+        if "stgcn" in name:
+            return import_stgcn_state_dict(state)
+        if "resnet" in name:
+            return import_resnet_state_dict(state)
         return import_ctrgcn_state_dict(state)
 
     def _load_optimizer(self):

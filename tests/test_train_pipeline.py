@@ -133,7 +133,7 @@ def _loader_order(n: int, seed: int, epoch: int) -> np.ndarray:
     return idx
 
 
-def _run_reference(synth_root, work_dir):
+def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
     """Drive the real REC_Processor.start() lifecycle on the synthetic
     dataset, f64, with our batch order injected. Returns
     (init_state_dict_f64, per-epoch train losses, eval records, model)."""
@@ -259,7 +259,7 @@ def _run_reference(synth_root, work_dir):
                 "test_feeder_args": {
                     "data_path": synth_root, "label_path": "val",
                 },
-                "model": "models.ctrgcn.Model",
+                "model": ref_model,
                 "model_args": {
                     "num_class": 10, "num_point": 20, "num_person": 1,
                     "graph": "graph.ucla.Graph",
@@ -291,7 +291,7 @@ def _run_reference(synth_root, work_dir):
     return captured["init_sd"], proc
 
 
-def _run_ours(synth_root, work_dir, init_npz):
+def _run_ours(synth_root, work_dir, init_npz, model_name="ctrgcn"):
     from tamgcn_tpu.train.config import load_config
     from tamgcn_tpu.train.trainer import RecognitionTrainer
 
@@ -306,11 +306,11 @@ def _run_ours(synth_root, work_dir, init_npz):
         "--test_feeder_args",
         f"data_path='{synth_root}'", "split='val'",
         "backend='numpy'", "debug=True", "dtype='float64'",
-        "--model", "ctrgcn",
+        "--model", model_name,
         "--model_args",
         "{'num_class': 10, 'num_point': 20, 'num_person': 1, "
-        "'graph': 'ucla', 'graph_args': {'labeling_mode': 'spatial'}, "
-        "'use_pallas': False}",
+        "'graph': 'ucla', 'graph_args': {'labeling_mode': 'spatial'}"
+        + (", 'use_pallas': False}" if model_name == "ctrgcn" else "}"),
         "--weights", init_npz,
         "--batch_size", str(BATCH), "--test_batch_size", str(BATCH),
         "--num_epoch", str(NUM_EPOCH), "--eval_interval", "1",
@@ -325,19 +325,32 @@ def _run_ours(synth_root, work_dir, init_npz):
     return trainer
 
 
-def test_full_pipeline_equivalence(x64, synth_root, tmp_path):
+@pytest.mark.parametrize(
+    "ref_model,our_model",
+    [("models.ctrgcn.Model", "ctrgcn"), ("models.stgcn.Model", "stgcn")],
+    ids=["ctrgcn", "stgcn"],
+)
+def test_full_pipeline_equivalence(x64, synth_root, tmp_path, ref_model,
+                                   our_model):
     import jax
 
-    from tamgcn_tpu.utils.torch_import import import_ctrgcn_state_dict
+    from tamgcn_tpu.utils.torch_import import (
+        import_ctrgcn_state_dict,
+        import_stgcn_state_dict,
+    )
 
+    import_fn = (
+        import_stgcn_state_dict if our_model == "stgcn"
+        else import_ctrgcn_state_dict
+    )
     work = str(tmp_path)
-    init_sd, proc = _run_reference(synth_root, work)
+    init_sd, proc = _run_reference(synth_root, work, ref_model)
 
     # hand the reference's f64 init to our trainer through the production
     # --weights .npz path (utils/torch_import mapping)
     init_npz = os.path.join(work, "init.npz")
     np.savez(init_npz, **{k: v.numpy() for k, v in init_sd.items()})
-    trainer = _run_ours(synth_root, work, init_npz)
+    trainer = _run_ours(synth_root, work, init_npz, our_model)
 
     # ---- premises: same samples, same order ------------------------------
     te_ref = proc.data_loader["test"].dataset
@@ -370,7 +383,7 @@ def test_full_pipeline_equivalence(x64, synth_root, tmp_path):
     assert trainer.progress[NUM_EPOCH - 1, 2] == pytest.approx(ref_acc)
 
     # ---- final params + BN running stats --------------------------------
-    final = import_ctrgcn_state_dict(
+    final = import_fn(
         {k: v.detach().numpy() for k, v in proc.model.state_dict().items()}
     )
     flat_ref = {
