@@ -12,9 +12,11 @@ to HBM and reads it back; this kernel keeps the whole refine+aggregate chain
 on-chip, which matters because the op is bandwidth-bound (arithmetic
 intensity ~V/2 FLOPs/byte on x3 traffic).
 
-Layout: channels ride the 128-lane axis; the joint axis V (20/25) is unrolled
-— each of the V output joints is one (V, C) matmul on the MXU plus one
-(T, V, C) multiply-reduce on the VPU.
+Layout: channels ride the 128-lane axis; the joint axis V (20/25) is
+unrolled. The production schedules are the UNIT-level kernels further down
+(one kernel for all three adjacency partitions); the round-3 default is the
+register-tiled form — see docs/KERNELS.md for the design history
+(roll-diagonal -> broadcast -> register-tiled) and measurements.
 
 Backward is a custom VJP: x3's gradient reuses the same fused kernel with M
 transposed in (u, v) (aggregation is linear in x3), and the small parameter
