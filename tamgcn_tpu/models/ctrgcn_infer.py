@@ -232,6 +232,16 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
     fields = {f.name: f.default for f in TCNGCNUnit.__dataclass_fields__.values()}
     kernel_size = fields["kernel_size"]
     dilations = tuple(fields["dilations"])
+    # CTRGCN.setup constructs every block with TCNGCNUnit's defaults, so the
+    # class defaults ARE the instance config today; if temporal settings are
+    # ever lifted into CTRGCN fields, fail here instead of folding the wrong
+    # dilated-conv geometry silently.
+    for fname in ("kernel_size", "dilations"):
+        if hasattr(model, fname):
+            raise NotImplementedError(
+                f"CTRGCN grew a configurable {fname!r}; make_fast_eval_fn "
+                "must read it off the model instead of TCNGCNUnit defaults"
+            )
     # static adjacency fallback for adaptive=False models (no 'PA' param)
     if isinstance(model.graph, np.ndarray):
         static_A = model.graph

@@ -34,6 +34,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mm_precision(mm_dtype):
+    """Stage-1 MXU precision. Production default is single-pass bf16 (the
+    same choice XLA's default f32 path makes; HIGHEST costs ~100 us of the
+    ~250 us deep-shape kernel — Mosaic supports only DEFAULT/HIGHEST, no
+    3-pass HIGH). TAMGCN_CTR_GC_STAGE1_HIGHEST=1 (read at trace time)
+    switches stage 1 to multi-pass HIGHEST so the bench's numerics guard
+    can compare the FULL kernel schedule against an f32 `highest` XLA
+    reference at rtol 1e-3 — any logic regression in the roll/broadcast/
+    tile indexing or accumulation fails that check exactly."""
+    if os.environ.get("TAMGCN_CTR_GC_STAGE1_HIGHEST"):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def _interpret_default() -> bool:
     """Pallas interpret mode for this process.
 
@@ -268,7 +282,8 @@ def _unit_fwd_kernel(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref, Ad_ref,
         dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, u, R)
         md = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
                      w4_ref[s].astype(mm_dtype),
-                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+                     preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
         mds.append((md + b4_ref[s][None]) * alpha
                    + Ad_ref[s][None, :, :, None])
     # packed stage 2: 20 FULL-width (BN, BT, V, S*c) FMAs (one shared roll
@@ -319,7 +334,8 @@ def _unit_fwd_kernel_bcast(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
         dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, v, u, R)
         mt = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
                      w4_ref[s].astype(mm_dtype),
-                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+                     preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
         mts.append((mt + b4_ref[s][None]) * alpha
                    + At_ref[s][None, :, :, None])
     mtcat = jnp.concatenate(mts, axis=-1)       # (BN, v, u, S*c)
@@ -354,21 +370,28 @@ def _unit_fwd_kernel_tile(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
     mm_dtype = jnp.bfloat16 if x3_ref.dtype == jnp.bfloat16 else jnp.float32
-    for s in range(S):
-        x1 = x1_ref[:, s].astype(jnp.float32)   # (BN, V_u, R)
-        x2 = x2_ref[:, s].astype(jnp.float32)
-        ds = []
-        for v in range(V):
-            ds.append(x1 - x2[:, v:v + 1, :])   # D^T[v, u]
-        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, v, u, R)
-        mt = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
-                     w4_ref[s].astype(mm_dtype),
-                     preferred_element_type=jnp.float32).reshape(BN, V, V, c)
-        # through a VMEM scratch: stage-2 then reads (u, lane-tile) slices
-        # from a REF with plain addressing — slicing the live VALUE instead
-        # makes Mosaic relayout/spill the whole (BN, V, V, C) tensor per use
-        mt_scr[:, s] = ((mt + b4_ref[s][None]) * alpha
-                        + At_ref[s][None, :, :, None])
+
+    # stage 1 depends only on the sample block: build the scratch once per
+    # sample block (T is the inner grid dim, so j==0 runs first and the
+    # scratch persists across the T-blocks of one i)
+    @pl.when(pl.program_id(1) == 0)
+    def _stage1():
+        for s in range(S):
+            x1 = x1_ref[:, s].astype(jnp.float32)   # (BN, V_u, R)
+            x2 = x2_ref[:, s].astype(jnp.float32)
+            ds = []
+            for v in range(V):
+                ds.append(x1 - x2[:, v:v + 1, :])   # D^T[v, u]
+            dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, v, u, R)
+            mt = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                         w4_ref[s].astype(mm_dtype),
+                         preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
+            # through a VMEM scratch: stage-2 then reads (u, lane-tile)
+            # slices from a REF with plain addressing — slicing the live
+            # VALUE makes Mosaic relayout/spill the whole tensor per use
+            mt_scr[:, s] = ((mt + b4_ref[s][None]) * alpha
+                            + At_ref[s][None, :, :, None])
     BT = x3_ref.shape[1]
     tc = int(os.environ.get("TAMGCN_TILE_TC", "4"))
     nacc = int(os.environ.get("TAMGCN_TILE_NACC", str(nacc)))
@@ -409,18 +432,23 @@ def _unit_bwd_dx3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
     alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
     mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
-    for s in range(S):
-        x1 = x1_ref[:, s].astype(jnp.float32)
-        x2 = x2_ref[:, s].astype(jnp.float32)   # (BN, V_v, R)
-        ds = []
-        for u in range(V):
-            ds.append(x1[:, u:u + 1, :] - x2)   # D[u, v]
-        dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
-        m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
-                    w4_ref[s].astype(mm_dtype),
-                    preferred_element_type=jnp.float32).reshape(BN, V, V, c)
-        m_scr[:, s] = ((m + b4_ref[s][None]) * alpha
-                       + A_ref[s][None, :, :, None])
+
+    # stage 1 depends only on the sample block — once per sample block
+    @pl.when(pl.program_id(1) == 0)
+    def _stage1():
+        for s in range(S):
+            x1 = x1_ref[:, s].astype(jnp.float32)
+            x2 = x2_ref[:, s].astype(jnp.float32)   # (BN, V_v, R)
+            ds = []
+            for u in range(V):
+                ds.append(x1[:, u:u + 1, :] - x2)   # D[u, v]
+            dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
+            m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                        w4_ref[s].astype(mm_dtype),
+                        preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
+            m_scr[:, s] = ((m + b4_ref[s][None]) * alpha
+                           + A_ref[s][None, :, :, None])
     BT = g_ref.shape[1]
     tc = int(os.environ.get("TAMGCN_TILE_TC", "4"))
     nacc = int(os.environ.get("TAMGCN_TILE_NACC", str(nacc)))
@@ -470,7 +498,8 @@ def _unit_bwd_dx3_kernel_bcast(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
         dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
         m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
                     w4_ref[s].astype(mm_dtype),
-                    preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+                    preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
         ms.append((m + b4_ref[s][None]) * alpha
                   + A_ref[s][None, :, :, None])
     mcat = jnp.concatenate(ms, axis=-1)            # (BN, u, v, S*c)
@@ -673,7 +702,8 @@ def _unit_bwd_dx3_kernel(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref,
         dstackT = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, d, v, R)
         mtd = jnp.dot(dstackT.reshape(BN * V * V, R).astype(mm_dtype),
                       w4_ref[s].astype(mm_dtype),
-                      preferred_element_type=jnp.float32).reshape(BN, V, V, c)
+                      preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
         mtds.append((mtd + b4_ref[s][None]) * alpha
                     + Atd_ref[s][None, :, :, None])
     mtdcat = jnp.concatenate(mtds, axis=-1)        # (BN, d, v, S*c)
@@ -864,6 +894,37 @@ def _unit_bwd_blocks(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     )
 
 
+# The tile-form kernels hold a (bn, S, V, V, C)-f32 refined-adjacency
+# scratch alongside the pipeline blocks. The row-bytes caps above were
+# calibrated WITH that scratch present at the production shapes (V<=25,
+# C<=256, bn=1), so it is budgeted separately: shrink bn while the scratch
+# exceeds the known-compiling envelope, and raise a descriptive error for
+# shapes whose bn=1 scratch alone cannot fit (instead of an opaque Mosaic
+# scoped-VMEM overflow). Known-good anchor: 1.47 MB at (V=20, C=256).
+_TILE_SCRATCH_BYTES_CAP = 4 << 20
+
+
+def _tile_scratch_bytes(bn: int, s: int, v: int, c: int) -> int:
+    vp = -(-v // 8) * 8
+    cp = -(-c // 128) * 128
+    return bn * s * v * vp * cp * 4
+
+
+def _fit_tile_scratch(bn: int, s: int, v: int, c: int) -> int:
+    cap = int(_TILE_SCRATCH_BYTES_CAP * _vmem_scale())
+    while bn > 1 and _tile_scratch_bytes(bn, s, v, c) > cap:
+        bn //= 2
+    if _tile_scratch_bytes(bn, s, v, c) > cap:
+        raise ValueError(
+            f"ctr_gc tile-form scratch (S={s}, V={v}, C={c}) needs "
+            f"{_tile_scratch_bytes(1, s, v, c)} B of scoped VMEM — over the "
+            f"{cap} B envelope on this generation. Use "
+            "TAMGCN_CTR_GC_FORM=bcast (no scratch) for this shape, or raise "
+            "TAMGCN_VMEM_SCALE on a larger-VMEM part."
+        )
+    return bn
+
+
 def _gather_diag(As, transpose: bool):
     """Ad[s,d,u] = A[s,u,(u+d)%V] (fwd) or Atd[s,d,v] = A[s,(v+d)%V,v]."""
     V = As.shape[-1]
@@ -893,6 +954,7 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As,
     if form == "tile":
         kernel = functools.partial(_unit_fwd_kernel_tile, c=C)
         Ad = jnp.swapaxes(As, -1, -2)  # At[s, v, u] = A[s, u, v]
+        bn = _fit_tile_scratch(bn, S, V, C)
         scratch = [pltpu.VMEM((bn, S, V, V, C), jnp.float32)]
     elif form == "bcast":
         kernel = functools.partial(_unit_fwd_kernel_bcast, c=C)
@@ -960,6 +1022,8 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
 
     # kernel 1: dx3 (same footprint class as the forward kernel)
     bn, bt = _unit_block_n(N, T, V, C, S)
+    if form == "tile":
+        bn = _fit_tile_scratch(bn, S, V, C)
     dx3_scratch = (
         [pltpu.VMEM((bn, S, V, V, C), jnp.float32)] if form == "tile" else []
     )

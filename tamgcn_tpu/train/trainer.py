@@ -49,6 +49,18 @@ class RecognitionTrainer:
 
     def __init__(self, arg):
         self.arg = arg
+        if getattr(arg, "sequence_parallel", False) and getattr(
+            arg, "graph_partition", "none"
+        ) != "none":
+            # Both claim the mesh's 'model' axis: sp shards the TIME axis of
+            # the activations while the ring shard_map expects the joint axis
+            # sharded with T replicated (parallel/graph_parallel.py). The
+            # combination would GSPMD-reshard at every block at best.
+            raise ValueError(
+                "--sequence_parallel and --graph_partition are mutually "
+                "exclusive: both shard over the mesh's 'model' axis "
+                "(sp shards time, the ring shards joints). Drop one."
+            )
         if getattr(arg, "distributed", False) and jax.process_count() == 1:
             jax.distributed.initialize()
         if getattr(arg, "debug_nans", False):
@@ -197,12 +209,26 @@ class RecognitionTrainer:
             import_stgcn_state_dict,
         )
 
+        # exact-match dispatch on the registered model name (substring
+        # matching would mis-route any future composite name containing
+        # 'stgcn'/'resnet'); unknown names fail loudly rather than silently
+        # picking the wrong importer
+        importers = {
+            "ctrgcn": import_ctrgcn_state_dict,
+            "models.ctrgcn.Model": import_ctrgcn_state_dict,
+            "stgcn": import_stgcn_state_dict,
+            "models.stgcn.Model": import_stgcn_state_dict,
+            "resnet_only": import_resnet_state_dict,
+            "models.resnet_only.Model": import_resnet_state_dict,
+        }
         name = str(getattr(self.arg, "model", "ctrgcn"))
-        if "stgcn" in name:
-            return import_stgcn_state_dict(state)
-        if "resnet" in name:
-            return import_resnet_state_dict(state)
-        return import_ctrgcn_state_dict(state)
+        try:
+            return importers[name](state)
+        except KeyError:
+            raise ValueError(
+                f"no torch state-dict importer registered for model {name!r}; "
+                f"known: {sorted(importers)}"
+            ) from None
 
     def _load_optimizer(self):
         arg = self.arg

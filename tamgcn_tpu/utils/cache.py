@@ -6,15 +6,38 @@ bench.py, main.py, and __graft_entry__ before any jit.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _machine_key() -> str:
+    """Discriminate cache entries by machine identity.
+
+    XLA:CPU persists AOT-compiled results keyed only by the HLO; loading an
+    entry compiled on a host with different CPU features logs
+    "could lead to execution errors such as SIGILL" (cpu_aot_loader.cc, seen
+    in MULTICHIP_r03.json). Keying the cache *path* on platform + CPU model
+    keeps entries from crossing machine types.
+    """
+    bits = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        bits.append(platform.processor())
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    path = path or os.environ.get(
-        "TAMGCN_COMPILE_CACHE", "/tmp/tamgcn_jax_cache"
-    )
+    path = path or os.environ.get("TAMGCN_COMPILE_CACHE")
+    if path is None:
+        path = f"/tmp/tamgcn_jax_cache_{_machine_key()}"
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
