@@ -17,6 +17,8 @@ the full CTR-GC block lives in tamgcn_tpu.ops.pallas and is dispatched via
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -143,34 +145,41 @@ def unit_ctr_gc(
 ):
     """Dispatch the unit-level (3-subset) fused CTR-GC op.
 
-    Pallas on TPU; narrow-channel layers (C < 128) are handled by folding
-    `tf = 128 // C` consecutive frames into the lane axis so every lane
-    carries a real value (the aggregation is elementwise in t, so folded
-    frames just ride along; the per-subset weights are lane-duplicated tf
-    times OUTSIDE the kernel — no sub-tile lane ops anywhere). The fold/
-    unfold are differentiable XLA reshapes, so AD flows through them into
-    the op's custom VJP. XLA fallback elsewhere (CPU tests, odd widths).
+    Pallas on TPU; narrow-channel layers (C < 128) fold `tf = 128 // C`
+    consecutive frames into the lane axis so every lane carries a real
+    value. XLA fallback elsewhere (CPU tests, odd widths).
+
+    Round-4 measurement note: STANDALONE, the fold/unfold XLA transposes
+    cost 1178/241 us each way at (N=64, T=52, S*C=192, v5e) and the
+    unfolded broadcast-form kernels (192->256 lane pad) win by ~1.4 ms per
+    layer — but IN CONTEXT the fold transposes fuse into the adjacent
+    conv3 producer / BN consumer and the folded path wins the end-to-end
+    step (38.3 vs 42.5 ms f32, batch 64). TAMGCN_NARROW_DISPATCH
+    ∈ {fold, unfold, xla} overrides the narrow-channel choice for
+    measurement; the default is fold where the fold is exact and the
+    joint axis pads mildly (V <= 20), XLA otherwise (V=25 measured worse
+    under both Pallas variants).
     """
     S = x1s.shape[1]
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
     tf = _tfold(C, T)
-    # Auto-dispatch (round 3): with the register-tiled kernels the FOLDED
-    # narrow-channel path now beats XLA end-to-end at V=20 — the full
-    # CTRGCN train step measures 38.3 ms with every layer on Pallas vs
-    # 40.3 ms with the old C >= 128 split (v5e, batch 64, NW-UCLA). At
-    # V=25 the fold LOSES (NTU train step 92 -> 106 ms): the 25 -> 32
-    # sublane pad wastes 28% of every VPU op and the halved T shrinks the
-    # blocks. Fold only when the lane fold is exact (C divides 128, tf
-    # divides T) and the joint axis pads mildly (V <= 20 -> 24 sublanes).
+    mode = os.environ.get("TAMGCN_NARROW_DISPATCH", "fold")
     if use_pallas is None:
         V_ = x1s.shape[2]
-        use_pallas = jax.default_backend() == "tpu" and (
-            C >= 128 or (tf > 1 and V_ <= 20)
-        )
+        if C >= 128:
+            use_pallas = jax.default_backend() == "tpu"
+        elif mode == "xla":
+            use_pallas = False
+        elif mode == "unfold":
+            use_pallas = jax.default_backend() == "tpu" and C >= 64
+        else:
+            use_pallas = jax.default_backend() == "tpu" and (
+                tf > 1 and V_ <= 20
+            )
     if not use_pallas:
         return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
-    if C >= 128 or tf == 1:
+    if C >= 128 or tf == 1 or mode == "unfold":
         return _unit_ctr_gc_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As)
     N, _, V, _ = x1s.shape
     # fold: (N,T,V,S,C) -> (N, T/tf, V, S, tf, C) -> lanes [s | parity | c]

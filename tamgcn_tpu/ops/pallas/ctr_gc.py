@@ -48,6 +48,21 @@ def _mm_precision(mm_dtype):
     return None
 
 
+def _default_form(packed_lanes: int) -> str:
+    """Schedule default by packed lane width S*C (round-4 measurements, v5e):
+
+      * >= 384 lanes (3+ vregs): the register-tiled form wins — its 128-lane
+        output tiles are full vregs (fwd 269 vs 415 us at S*C=768);
+      * < 384 lanes (C=64 -> 192 lanes): the full-width broadcast form wins —
+        the tile form's per-subset c=64 tiles are HALF-vreg ops, while the
+        broadcast chain runs 192->256-lane padded full-width FMAs
+        (fwd 493 vs 571 us, param bwd 815 vs 1177 us at T=52, C=64).
+
+    TAMGCN_CTR_GC_FORM overrides both (benchmarking/regression bisection).
+    """
+    return "tile" if packed_lanes >= 384 else "bcast"
+
+
 def _interpret_default() -> bool:
     """Pallas interpret mode for this process.
 
@@ -944,10 +959,10 @@ def unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As,
     (full-width broadcast) or 'roll' (roll-diagonal) — same numerics,
     different VPU data movement; TAMGCN_CTR_GC_FORM overrides for
     benchmarking."""
-    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "tile")
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM") or _default_form(S * C)
     bn, bt = _unit_block_n(N, T, V, C, S)
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
     scratch = []
@@ -1000,10 +1015,10 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
     (the original roll-diagonal schedule), TAMGCN_CTR_GC_FORM overrides —
     dAs comes back from the kernel's transposed/diagonal layout accordingly.
     """
-    form = form or os.environ.get("TAMGCN_CTR_GC_FORM", "tile")
     N, S, V, R = x1s.shape
     T = x3s.shape[1]
     C = x3s.shape[-1] // S
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM") or _default_form(S * C)
     interp = _interpret_default()
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
     if form == "tile":

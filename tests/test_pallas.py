@@ -200,11 +200,16 @@ def test_unit_dispatch_fallback_on_cpu():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_unit_tfold_path_matches_xla():
-    """Narrow channels (C=64): time-pair folded pallas path == XLA, fwd + vjp."""
+def test_unit_narrow_channel_path_matches_xla():
+    """Narrow channels (C=64, S*C=192 lanes): the unfolded Pallas path
+    (broadcast-form default, 192->256 lane pad) == XLA, fwd + full vjp.
+
+    Round 4 retired the round-2/3 time-pair fold — the fold/unfold XLA
+    lane-interleave transposes cost more than the lane pad they avoided
+    (see ops/aggregation.unit_ctr_gc)."""
     args = _make_unit_inputs(n=2, t=8, v=20, c=64, r=8)
 
-    def f_fold(*a):
+    def f_pallas(*a):
         return jnp.sum(jnp.sin(unit_ctr_gc(*a, use_pallas=True)))
 
     def f_xla(*a):
@@ -215,10 +220,10 @@ def test_unit_tfold_path_matches_xla():
         np.asarray(unit_ctr_gc_xla(*args)),
         rtol=2e-5, atol=2e-5,
     )
-    gp = jax.grad(f_fold, argnums=tuple(range(7)))(*args)
+    gp = jax.grad(f_pallas, argnums=tuple(range(7)))(*args)
     gx = jax.grad(f_xla, argnums=tuple(range(7)))(*args)
     for name, a, b in zip(["x1s", "x2s", "x3s", "w4s", "b4s", "alpha", "As"], gp, gx):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
-            err_msg=f"tfold grad mismatch: {name}",
+            err_msg=f"narrow-channel grad mismatch: {name}",
         )
