@@ -546,21 +546,48 @@ def _unit_bwd_param_kernel_tile(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
     first = j == 0
 
     # ---- phase B (tiled): dm^T[v, u, sc] += sum_t x3[t, v, sc] g[t, u, c]
-    for v in range(V):
+    # Two loop orders, selected by TAMGCN_PARAM_PHASEB:
+    #   v_outer (round 3): one register accumulator per (v, s, tile), t
+    #     innermost — the g page is re-read from VMEM V times per (s, tile);
+    #   t_outer (round 4 default): V accumulators live at once (V * BN *
+    #     ceil(V/8) * w/128 vregs — 60 at BN=1, V=20, w=128), t outermost so
+    #     each g page is read ONCE per (s, tile): a V-fold cut of the
+    #     dominant VMEM read stream. Measured 595 -> ~430 us at the deep
+    #     shape (see docs/KERNELS.md round-4 table).
+    phase_b = os.environ.get("TAMGCN_PARAM_PHASEB", "t_outer")
+    if phase_b == "t_outer":
         for s in range(S):
             for l0 in range(0, c, lt):
                 w = min(lt, c - l0)
-                acc = None
+                accs = [None] * V
                 for t in range(BT):
-                    term = (
-                        g_ref[:, t, :, l0:l0 + w].astype(jnp.float32)
-                        * x3_ref[:, t, v, s * c + l0:s * c + l0 + w]
-                        .astype(jnp.float32)[:, None, :]
-                    )
-                    acc = term if acc is None else acc + term
-                sl = (slice(None), v, slice(None),
-                      slice(s * c + l0, s * c + l0 + w))
-                dmt_scr[sl] = jnp.where(first, acc, dmt_scr[sl] + acc)
+                    gp = g_ref[:, t, :, l0:l0 + w].astype(jnp.float32)
+                    for v in range(V):
+                        x3v = (x3_ref[:, t, v, s * c + l0:s * c + l0 + w]
+                               .astype(jnp.float32)[:, None, :])
+                        term = gp * x3v
+                        accs[v] = term if accs[v] is None else accs[v] + term
+                for v in range(V):
+                    sl = (slice(None), v, slice(None),
+                          slice(s * c + l0, s * c + l0 + w))
+                    dmt_scr[sl] = jnp.where(first, accs[v],
+                                            dmt_scr[sl] + accs[v])
+    else:
+        for v in range(V):
+            for s in range(S):
+                for l0 in range(0, c, lt):
+                    w = min(lt, c - l0)
+                    acc = None
+                    for t in range(BT):
+                        term = (
+                            g_ref[:, t, :, l0:l0 + w].astype(jnp.float32)
+                            * x3_ref[:, t, v, s * c + l0:s * c + l0 + w]
+                            .astype(jnp.float32)[:, None, :]
+                        )
+                        acc = term if acc is None else acc + term
+                    sl = (slice(None), v, slice(None),
+                          slice(s * c + l0, s * c + l0 + w))
+                    dmt_scr[sl] = jnp.where(first, acc, dmt_scr[sl] + acc)
 
     # ---- phase C: identical epilogue to the bcast kernel -------------------
     _param_phase_c(x1_ref, x2_ref, w4_ref, b4_ref, alpha, dmt_scr,
