@@ -183,6 +183,87 @@ def bench_fast_eval(batch=64, ntu=False):
         f"fused-block engine {dt_fast*1e3:.2f} ms ({dt_flax/dt_fast:.2f}x)")
 
 
+def bench_rgb(batch=16):
+    """RGB / cross-modal branch train+eval timing (round-4 verdict item 7).
+
+    Reference shapes: ST-ROI RGB (N, 224, 224, 3) for resnet_only
+    (reference models/resnet_only.py), and skeleton (N, 3, 52, 20, 1) +
+    15-channel RGB (N, 224, 224, 15) for the cross-modal attention model
+    (reference models/resnet_gcn_attention.py:72-122, conv1 inflated 3->15).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tamgcn_tpu.models.resnet_only import ResNetOnly
+    from tamgcn_tpu.models.resnet_gcn_attention import ResNetGCNAttention
+    from tamgcn_tpu.utils.timing import time_chained, time_step_chained
+
+    rs = np.random.RandomState(0)
+    labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
+
+    def make_step(model, tx, variables, inputs):
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+
+        def loss_fn(p, bs, *data):
+            vs = {"params": p}
+            if bs:
+                vs["batch_stats"] = bs
+            out, mut = model.apply(vs, *data, train=True,
+                                   mutable=["batch_stats"])
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out, labels).mean()
+            return loss, mut.get("batch_stats", bs)
+
+        def step(state, *data):
+            p, bs, os_ = state
+            (loss, bs2), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bs, *data)
+            upd, os2 = tx.update(grads, os_, p)
+            return (optax.apply_updates(p, upd), bs2, os2), loss
+
+        return jax.jit(step, donate_argnums=(0,)), (params, stats, opt_state)
+
+    tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
+
+    # --- resnet_only ---
+    model = ResNetOnly(num_class=10)
+    x = jnp.asarray(rs.randn(batch, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    ev = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+
+    def feed(out, a):
+        return (a[0], a[1] + out.mean() * 1e-9)
+
+    dt_e = time_chained(ev, feed, (variables, x), chain=20, iters=10)
+    log(f"resnet50 eval fwd (batch {batch}): {dt_e*1e3:.2f} ms")
+    # train step last: it donates (and so deletes) the param buffers
+    step, state = make_step(model, tx, variables, (x,))
+    dt = time_step_chained(step, state, (x,), iters=10)
+    log(f"resnet50 train step (batch {batch}): {dt*1e3:.2f} ms/step, "
+        f"{batch/dt:.1f} samples/s")
+
+    # --- cross-modal attention ---
+    model = ResNetGCNAttention(num_class=10, num_point=20, num_person=1,
+                               graph="ucla", use_pallas=None)
+    xg = jnp.asarray(rs.randn(batch, 3, 52, 20, 1), jnp.float32)
+    xr = jnp.asarray(rs.randn(batch, 224, 224, 15), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xg[:1], xr[:1])
+
+    def feed2(out, a):
+        return (a[0], a[1], a[2] + out.mean() * 1e-9)
+
+    ev2 = jax.jit(lambda v, xg_, xr_: model.apply(v, xg_, xr_, train=False))
+    dt_e = time_chained(ev2, feed2, (variables, xg, xr), chain=20, iters=10)
+    log(f"cross-modal eval fwd (batch {batch}): {dt_e*1e3:.2f} ms")
+    step, state = make_step(model, tx, variables, (xg, xr))
+    dt = time_step_chained(step, state, (xg, xr), iters=10)
+    log(f"cross-modal train step (batch {batch}): {dt*1e3:.2f} ms/step, "
+        f"{batch/dt:.1f} samples/s")
+
+
 def main():
     import jax
 
@@ -205,6 +286,7 @@ def main():
         bench_fast_eval()
         bench_fast_eval(batch=32, ntu=True)  # the shape where the engine wins
         bench_train_step(batch=32, ntu=True)  # NTU-60 stretch config
+        bench_rgb()  # RGB / cross-modal branch (round-4 verdict item 7)
     except Exception as e:  # keep the primary metric even if train bench dies
         log(f"train bench failed: {e}")
     print(
