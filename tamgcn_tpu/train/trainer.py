@@ -95,7 +95,17 @@ class RecognitionTrainer:
             train_args = dict(arg.train_feeder_args)
             train_args.setdefault("debug", arg.debug)
             train_args.setdefault("split", "train")
-            self.train_feeder = get_feeder(arg.feeder, **train_args)
+            # the augmentation stream is keyed on the run seed (the feeder's
+            # per-(seed, epoch, index) Philox); without this the aug always
+            # ran on the feeder default seed regardless of --seed
+            if "seed" not in train_args:
+                try:
+                    self.train_feeder = get_feeder(
+                        arg.feeder, seed=arg.seed, **train_args)
+                except TypeError:  # feeders without an aug seed (e.g. RGB)
+                    self.train_feeder = get_feeder(arg.feeder, **train_args)
+            else:
+                self.train_feeder = get_feeder(arg.feeder, **train_args)
             self.loaders["train"] = Loader(
                 self.train_feeder,
                 batch_size=arg.batch_size,

@@ -20,11 +20,16 @@ Alignment choices (all test scaffolding, not semantics changes):
     reference :154), so both models consume identically-rounded f32 inputs
     widened to f64 (`torch.Tensor.float` is patched to `.double` for the
     run; our side promotes f32 inputs against f64 params);
-  * augmentation forced deterministic: rotation 0°/scale 1.0 on both sides
-    (the reference module's `random` shim returns the same constants our
-    feeder's zero-degree config produces) and length-1 train clips, which
-    make the sorted random temporal resample constant. Aug-stream numerics
-    parity itself is covered by tests/test_data.py;
+  * augmentation LIVE on both sides (round 4; rounds 1-3 zeroed it): the
+    production random path — rotation ±60°, scale U(0.5, 1.5), sorted
+    random-with-replacement temporal resample (reference
+    feeder/feeder_nucla_gcn.py:92-97,111-114) — runs with the reference
+    module's `random` shim REPLAYING our feeder's per-(seed, epoch, index)
+    Philox stream (data/feeder_nucla_gcn._rng): randint/uniform/sample map
+    onto the identical Generator calls in the identical order, so both
+    feeders draw the same rotations, scales, and frame indices. The two
+    PRNGs differ by design, so one stream is injected into the other —
+    same pattern as the batch-order sampler below;
   * batch order: the reference DataLoader gets a sampler that yields our
     Loader's Philox permutation (data/loader.py _indices) — the two shuffle
     PRNGs differ by design, so one order is injected into the other;
@@ -80,15 +85,16 @@ def x64():
 def synth_root(tmp_path_factory):
     """Synthetic NW-UCLA dataset on disk, reference layout: one
     `<name>/<name>.json` per sample in BOTH split lists. Train clips are
-    length 1 (forces the train-time temporal resample deterministic); val
-    clips length 37 (exercises the linspace resample). Spatial content is a
-    per-class prototype + per-sample noise so training has signal."""
+    length 23 (the random sorted-resample actually resamples, exercised by
+    the replayed aug stream); val clips length 37 (exercises the linspace
+    resample). Spatial content is a per-class prototype + per-sample noise
+    so training has signal."""
     from tamgcn_tpu.data import load_nucla_split
 
     root = tmp_path_factory.mktemp("nucla_synth")
     rs = np.random.RandomState(0)
     protos = rs.randn(12, 20, 3)  # labels are 1-based, up to 12 in NUCLA ids
-    for split, length in (("train", 1), ("val", 37)):
+    for split, length in (("train", 23), ("val", 37)):
         for info in load_nucla_split(split):
             name = info["file_name"]
             label = int(info["label"])
@@ -106,10 +112,15 @@ def synth_root(tmp_path_factory):
 
 class _PhiloxPermSampler:
     """Yields our Loader's per-epoch shuffle order (data/loader.py
-    _indices): Philox(key=seed, counter=[0, 0, epoch, 1]) over arange(n)."""
+    _indices): Philox(key=seed, counter=[0, 0, epoch, 1]) over arange(n).
 
-    def __init__(self, n: int, seed: int):
+    `state` (optional dict) is told the current 0-based epoch at the start
+    of each iteration — the aug-replay feeder shim keys its per-sample
+    Philox streams on it."""
+
+    def __init__(self, n: int, seed: int, state: dict | None = None):
         self.n, self.seed, self.epoch = n, seed, 0
+        self.state = state
 
     def __iter__(self):
         idx = np.arange(self.n)
@@ -117,6 +128,8 @@ class _PhiloxPermSampler:
             np.random.Philox(key=self.seed, counter=[0, 0, self.epoch, 1])
         )
         rng.shuffle(idx)
+        if self.state is not None:
+            self.state["epoch"] = self.epoch
         self.epoch += 1
         return iter(idx.tolist())
 
@@ -161,19 +174,40 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
     from processor.recognition_rgb import REC_Processor
     import feeder.feeder_nucla_gcn as ref_feeder_mod
 
-    # deterministic augmentation: same constants our zero-rotation config
-    # draws (the temporal resample is untouched — length-1 clips make it
-    # constant). Scoped to the reference feeder module's `random` global.
-    class _FixedRandom:
-        @staticmethod
-        def randint(a, b):
-            return 0
+    # LIVE augmentation with replayed draws (round 4): the reference
+    # feeder's module-level `random` is swapped, per __getitem__ call, for
+    # a shim backed by the SAME numpy Philox generator our feeder
+    # constructs for (seed=SEED, epoch, index)
+    # (data/feeder_nucla_gcn.Feeder._rng). Call order on both sides is
+    # identical — randint(agx), randint(agy), uniform(s), then the
+    # temporal resample — so the streams align draw-for-draw:
+    #   * randint(a, b)  ->  int(rng.integers(a, b + 1))   (both inclusive)
+    #   * uniform(a, b)  ->  float(rng.uniform(a, b))
+    #   * sample(pop, k) ->  our resample_train draw rng.choice(len, k,
+    #     replace=True) — the reference samples WITHOUT replacement from
+    #     the 100x-replicated frame list and sorts (reference :111-114),
+    #     ours samples WITH replacement and sorts (data/transforms.py:83);
+    #     after the sort the two distributions are NOT the same object, so
+    #     the replay returns OUR draw (the call site only uses its sorted
+    #     value; this injects our resample semantics into the reference
+    #     run, exactly like the injected batch order).
+    aug_state = {"epoch": 0}
 
-        @staticmethod
-        def uniform(a, b):
-            return 1.0
+    class _ReplayRandom:
+        """One per-sample replay of our feeder's Philox stream."""
 
-        sample = staticmethod(ref_feeder_mod.random.sample)
+        def __init__(self, rng):
+            self.rng = rng
+
+        def randint(self, a, b):
+            return int(self.rng.integers(a, b + 1))
+
+        def uniform(self, a, b):
+            return float(self.rng.uniform(a, b))
+
+        def sample(self, population, k):
+            length = len(population) // 100
+            return list(self.rng.choice(length, size=k, replace=True))
 
     # the base Processor injects test_feeder_args['evaluation']=True
     # (processor/processor.py load_data), which the NUCLA feeder's fixed
@@ -187,7 +221,15 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
             super().__init__(*a, **kw)
 
         def __getitem__(self, index):
-            data, _rgb, label, idx = super().__getitem__(index)
+            rng = np.random.Generator(np.random.Philox(
+                key=SEED, counter=[0, 0, aug_state["epoch"], index]
+            ))
+            prev = ref_feeder_mod.random
+            ref_feeder_mod.random = _ReplayRandom(rng)
+            try:
+                data, _rgb, label, idx = super().__getitem__(index)
+            finally:
+                ref_feeder_mod.random = prev
             return data, label, idx
 
     shim = types.ModuleType("_tamgcn_ref_shim")
@@ -224,7 +266,8 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
                 f.label = f.label[:N_SUB]
             self.data_loader["train"] = torch.utils.data.DataLoader(
                 tr, batch_size=self.arg.batch_size,
-                sampler=_PhiloxPermSampler(len(tr.data_dict), SEED),
+                sampler=_PhiloxPermSampler(len(tr.data_dict), SEED,
+                                           state=aug_state),
                 drop_last=True, num_workers=0,
             )
             self.data_loader["test"] = torch.utils.data.DataLoader(
@@ -275,10 +318,8 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
             f,
         )
 
-    orig_random = ref_feeder_mod.random
     orig_float = torch.Tensor.float
     try:
-        ref_feeder_mod.random = _FixedRandom
         torch.manual_seed(0)
         proc = PipelineProc(["--config", cfg])
         # widen the feeder's f32 output to the f64 model (the input VALUES
@@ -287,7 +328,6 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
         proc.start()
     finally:
         torch.Tensor.float = orig_float
-        ref_feeder_mod.random = orig_random
     return captured["init_sd"], proc
 
 
@@ -301,7 +341,6 @@ def _run_ours(synth_root, work_dir, init_npz, model_name="ctrgcn"):
         "--feeder", "nucla_gcn",
         "--train_feeder_args",
         f"data_path='{synth_root}'", "split='train'", "repeat=1",
-        "random_rotation_deg=0", "scale_range=(1.0,1.0)",
         "backend='numpy'", "debug=True", "dtype='float64'",
         "--test_feeder_args",
         f"data_path='{synth_root}'", "split='val'",
