@@ -120,20 +120,17 @@ def _fold_block(p, s, *, in_ch: int, out_ch: int, stride: int,
 
 
 def _block_prefix_pw_xla(fb: dict, x: jax.Array, x1s, x2s):
-    """XLA lowering of the kernel's fused segment, for blocks where the
-    Pallas kernel does not pay (narrow channels — see docs/KERNELS.md's
-    C < 128 concession; XLA fuses the folded-affine chain well there)."""
-    S, C = fb["S"], fb["C"]
-    d = jnp.tanh(x1s[:, :, :, None, :] - x2s[:, :, None, :, :])  # (N,S,u,v,R)
-    m = jnp.einsum("nsuvr,src->nsuvc", d, fb["w4s"],
-                   preferred_element_type=jnp.float32)
-    m = (m + fb["b4s"][None, :, None, None, :]) * fb["alpha"][0] \
-        + fb["A"][None, :, :, :, None]
+    """Folded-affine lowering of the kernel's fused segment, for blocks
+    where the whole-block Pallas kernel does not pay. The aggregation
+    itself goes through the production `unit_ctr_gc` dispatch (the
+    register-tiled Pallas kernels on TPU — round 4; previously this path
+    ran the raw XLA einsum, which materialises the (N, V, V, S*C) refined
+    adjacency to HBM and measures 3-11x slower at the backbone shapes)."""
+    from ..ops.aggregation import unit_ctr_gc
+
     x3 = x @ fb["w3"] + fb["b3"]                    # (N, T, V, S*C)
-    N, T, V, _ = x3.shape
-    x3 = x3.reshape(N, T, V, S, C)
-    y = jnp.einsum("nsuvc,ntvsc->ntuc", m, x3,
-                   preferred_element_type=jnp.float32)
+    y = unit_ctr_gc(x1s, x2s, x3, fb["w4s"], fb["b4s"], fb["alpha"],
+                    fb["A"])
     y = y * fb["gy"][0] + fb["gy"][1]
     res = x if fb["wd"] is None else x @ fb["wd"] + fb["bd"]
     off = jnp.tanh((res - y) @ fb["wo"] + fb["bo"])
@@ -206,12 +203,19 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
 
     The BN folding runs inside the traced function (a handful of per-channel
     multiplies — negligible next to the forward), so one compilation serves
-    every checkpoint/epoch of the same model. use_pallas=None dispatches the
-    fused block kernel per block where it wins (C >= 128, mirroring
-    ops/aggregation.unit_ctr_gc — the narrow blocks take the same
-    folded-affine math as XLA ops); True/False force one path everywhere.
+    every checkpoint/epoch of the same model. use_pallas=None dispatches
+    the whole-block fused kernel per block by the TAMGCN_FAST_EVAL_BLOCKS
+    policy ('none' default — every block runs the register-tiled
+    aggregation kernels + the folded-affine epilogue, the measured-fastest
+    config on the v5e at both NW-UCLA and NTU shapes; 'deep'/'shallow'/
+    'all' switch the whole-block kernel on by channel width for
+    comparison); True/False force one path everywhere.
     """
+    import os
+
     from .ctrgcn import CTRGCN, TCNGCNUnit, get_graph
+
+    policy = os.environ.get("TAMGCN_FAST_EVAL_BLOCKS", "none")
 
     if not isinstance(model, CTRGCN):
         raise TypeError(
@@ -276,7 +280,16 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
         h = h.reshape(N, T, M, V, C0)
         h = jnp.transpose(h, (0, 2, 1, 3, 4)).reshape(N * M, T, V, C0)
         for (cin, cout, stride, resid), fb in zip(specs, blocks):
-            use_kernel = use_pallas if use_pallas is not None else cout >= 128
+            if use_pallas is not None:
+                use_kernel = use_pallas
+            elif policy == "deep":
+                use_kernel = cout >= 128
+            elif policy == "shallow":
+                use_kernel = cout < 128
+            elif policy == "all":
+                use_kernel = True
+            else:  # "none": tiled-agg + folded-affine everywhere
+                use_kernel = False
             h = _apply_block(fb, h, use_kernel)
         c_new = h.shape[-1]
         h = h.reshape(N, M, -1, c_new).mean(axis=2).mean(axis=1)

@@ -156,6 +156,75 @@ def main():
             ctrgcn_mod.MultiScaleTCN = orig_tcn
         log(f"step no_tcn:  {no_tcn*1e3:8.2f} ms  (tcn cost ~{(full-no_tcn)*1e3:.2f} ms)")
 
+    # ---- TCN sub-ablations: replace single branch groups with slices ----
+    if "tcnsub" in sel:
+        orig_tcn = ctrgcn_mod.MultiScaleTCN
+
+        def make_variant(skip):
+            def call(self, x, *, train):
+                num_branches = len(self.dilations) + 2
+                bc = self.out_channels // num_branches
+                ks = self.kernel_size
+                if not isinstance(ks, (list, tuple)):
+                    ks = [ks] * len(self.dilations)
+                from tamgcn_tpu.ops.norm import BatchNorm
+                from tamgcn_tpu.ops.inits import (
+                    kaiming_normal_fan_out, kaiming_normal_fan_out_blocked,
+                )
+                n_dil = len(self.dilations)
+                prefix = nn.Conv((n_dil + 1) * bc, (1, 1),
+                                 kernel_init=kaiming_normal_fan_out_blocked(n_dil + 1),
+                                 bias_init=nn.initializers.zeros,
+                                 name="prefix_conv")(x)
+                prefix = BatchNorm(use_running_average=not train,
+                                   scale_init=ctrgcn_mod._bn_weights_init,
+                                   **ctrgcn_mod.BN, name="prefix_bn")(prefix)
+                prefix = nn.relu(prefix)
+                outs = []
+                for i, (k, dil) in enumerate(zip(ks, self.dilations)):
+                    b = prefix[..., i * bc:(i + 1) * bc]
+                    if skip == "dil":
+                        b = b[:, ::self.stride]
+                    else:
+                        pad = (k + (k - 1) * (dil - 1) - 1) // 2
+                        b = nn.Conv(bc, (k, 1), strides=(self.stride, 1),
+                                    kernel_dilation=(dil, 1),
+                                    padding=[(pad, pad), (0, 0)],
+                                    kernel_init=kaiming_normal_fan_out,
+                                    bias_init=nn.initializers.zeros,
+                                    name=f"branch{i}_tconv_conv")(b)
+                    outs.append(b)
+                b = prefix[..., n_dil * bc:]
+                if skip == "max":
+                    b = b[:, ::self.stride]
+                else:
+                    b = nn.max_pool(b, window_shape=(3, 1),
+                                    strides=(self.stride, 1),
+                                    padding=[(1, 1), (0, 0)])
+                outs.append(b)
+                b = nn.Conv(bc, (1, 1), strides=(self.stride, 1),
+                            kernel_init=kaiming_normal_fan_out,
+                            bias_init=nn.initializers.zeros,
+                            name="pw_conv")(x)
+                outs.append(b)
+                out = jnp.concatenate(outs, axis=-1)
+                out = BatchNorm(use_running_average=not train,
+                                scale_init=ctrgcn_mod._bn_weights_init,
+                                **ctrgcn_mod.BN, name="out_bn")(out)
+                return out
+            return call
+
+        for skip in ("dil", "max"):
+            Var = type(f"TCNNo{skip}", (orig_tcn,),
+                       {"__call__": nn.compact(make_variant(skip))})
+            ctrgcn_mod.MultiScaleTCN = Var
+            try:
+                dt = time_train_step(make(use_pallas=None))
+            finally:
+                ctrgcn_mod.MultiScaleTCN = orig_tcn
+            log(f"step tcn-no-{skip}: {dt*1e3:8.2f} ms "
+                f"(cost ~{(full-dt)*1e3:.2f} ms)")
+
     # ---- no_epi: UnitGCN epilogue -> relu(y + res-ish) ----
     orig_unit = ctrgcn_mod.UnitGCN
 
@@ -247,6 +316,87 @@ def main():
         offset = BatchNorm(use_running_average=not train,
                            **ctrgcn_mod.BN, name="offset_bn")(offset)
         return nn.relu(y + jnp.tanh(offset) + res)
+
+    # ---- epi2: BN1 affine folded into the offset matmul (exp_epilogue
+    # xla2 form: diff never materialised, one-pass stats) ----
+    if "epi2" in sel:
+        def unit_epi2(self, x, *, train):
+            import numpy as _np
+            A0 = _np.asarray(self.A, _np.float32)
+            num_subset = A0.shape[0]
+            A = self.param("PA", lambda key, shape: jnp.asarray(A0), A0.shape)
+            alpha = self.param("alpha", nn.initializers.zeros, (1,))
+            R = ctrgcn_mod._rel_channels(self.in_channels)
+            C = self.out_channels
+            from tamgcn_tpu.ops.inits import (
+                kaiming_normal_fan_out,
+                kaiming_normal_fan_out_blocked, kaiming_normal_fan_out_dense,
+            )
+
+            def packed_conv(features, blocks, name):
+                return nn.Conv(features, kernel_size=(1, 1),
+                               kernel_init=kaiming_normal_fan_out_blocked(blocks),
+                               bias_init=nn.initializers.zeros, name=name)
+
+            xm = jnp.mean(x, axis=1, keepdims=True)
+            e12 = packed_conv(2 * num_subset * R, 2 * num_subset, "conv12")(xm)[:, 0]
+            N, V = e12.shape[0], e12.shape[1]
+            x1s = jnp.transpose(
+                e12[..., : num_subset * R].reshape(N, V, num_subset, R), (0, 2, 1, 3))
+            x2s = jnp.transpose(
+                e12[..., num_subset * R:].reshape(N, V, num_subset, R), (0, 2, 1, 3))
+            x3s = packed_conv(num_subset * C, num_subset, "conv3")(x)
+            w4s = self.param("conv4_kernel", kaiming_normal_fan_out_dense,
+                             (num_subset, R, C))
+            b4s = self.param("conv4_bias", nn.initializers.zeros,
+                             (num_subset, C))
+            from tamgcn_tpu.ops.aggregation import unit_ctr_gc
+            y = unit_ctr_gc(x1s, x2s, x3s, w4s, b4s, alpha, A,
+                            use_pallas=self.use_pallas)
+            # --- folded epilogue (stats in one pass; BN1 affine into Wo) ---
+            g1 = self.param("bn_scale", nn.initializers.constant(1e-6), (C,))
+            b1 = self.param("bn_bias", nn.initializers.zeros, (C,))
+            Wo = self.param("offset_kernel", nn.initializers.zeros, (C, C))
+            bo = self.param("offset_bias", nn.initializers.zeros, (C,))
+            g3 = self.param("obn_scale", nn.initializers.ones, (C,))
+            b3 = self.param("obn_bias", nn.initializers.zeros, (C,))
+            if self.in_channels != self.out_channels:
+                res = nn.Conv(self.out_channels, (1, 1),
+                              kernel_init=kaiming_normal_fan_out,
+                              bias_init=nn.initializers.zeros,
+                              name="down_conv")(x)
+                from tamgcn_tpu.ops.norm import BatchNorm
+                res = BatchNorm(use_running_average=not train,
+                                **ctrgcn_mod.BN, name="down_bn")(res)
+            else:
+                res = x
+            n_ = y.shape[0] * y.shape[1] * y.shape[2]
+            s = jnp.sum(y, (0, 1, 2)); s2 = jnp.sum(jnp.square(y), (0, 1, 2))
+            mu = s / n_
+            var = jnp.maximum(0.0, s2 / n_ - jnp.square(mu))
+            inv = jax.lax.rsqrt(var + 1e-5)
+            s1 = inv * g1
+            t1 = b1 - mu * s1
+            Ws = s1[:, None] * Wo
+            cst = bo - t1 @ Wo
+            u = (jnp.einsum("ntvc,cd->ntvd", res, Wo)
+                 - jnp.einsum("ntvc,cd->ntvd", y, Ws) + cst)
+            su = jnp.sum(u, (0, 1, 2)); su2 = jnp.sum(jnp.square(u), (0, 1, 2))
+            mu3 = su / n_
+            var3 = jnp.maximum(0.0, su2 / n_ - jnp.square(mu3))
+            inv3 = jax.lax.rsqrt(var3 + 1e-5)
+            off = jnp.tanh(u * (inv3 * g3) + (b3 - mu3 * inv3 * g3))
+            return nn.relu(y * s1 + t1 + off + res)
+
+        UnitEpi2 = type("UnitEpi2", (ctrgcn_mod.UnitGCN,),
+                        {"__call__": nn.compact(unit_epi2)})
+        orig_unit2 = ctrgcn_mod.UnitGCN
+        ctrgcn_mod.UnitGCN = UnitEpi2
+        try:
+            dt = time_train_step(make(use_pallas=None))
+        finally:
+            ctrgcn_mod.UnitGCN = orig_unit2
+        log(f"step epi2:    {dt*1e3:8.2f} ms  (saves ~{(full-dt)*1e3:.2f} ms)")
 
     if "noagg" in sel:
         UnitNoAgg = type("UnitNoAgg", (ctrgcn_mod.UnitGCN,),
