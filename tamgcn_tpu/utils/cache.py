@@ -35,6 +35,22 @@ def _machine_key() -> str:
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        # Under the axon remote-compile terminal, XLA:CPU computations are
+        # AOT-compiled on the SERVICE machine with its CPU features; caching
+        # them locally makes every warm run reload a feature-mismatched
+        # binary (cpu_aot_loader.cc "could lead to execution errors such as
+        # SIGILL" — seen in MULTICHIP_r03.json). No cache-path keying can
+        # fix that (the mismatch is compile-machine vs execution-machine
+        # within one process), so when the process targets the CPU backend
+        # (the multi-chip dryrun) skip the persistent cache entirely — a
+        # once-per-round fresh compile beats a latent SIGILL.
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
+        if backend == "cpu":
+            return
     path = path or os.environ.get("TAMGCN_COMPILE_CACHE")
     if path is None:
         path = f"/tmp/tamgcn_jax_cache_{_machine_key()}"
