@@ -24,8 +24,11 @@ import time
 import numpy as np
 
 
+_T0 = time.time()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:6.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def bench_kernel(n=64, t=52, v=20, c=64, r=8, s=3):
@@ -197,7 +200,7 @@ def bench_rgb(batch=16):
 
     from tamgcn_tpu.models.resnet_only import ResNetOnly
     from tamgcn_tpu.models.resnet_gcn_attention import ResNetGCNAttention
-    from tamgcn_tpu.utils.timing import time_chained, time_step_chained
+    from tamgcn_tpu.utils.timing import time_step_chained
 
     rs = np.random.RandomState(0)
     labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
@@ -229,17 +232,13 @@ def bench_rgb(batch=16):
     tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
 
     # --- resnet_only ---
+    # Train-step lines only: each extra jitted graph costs ~40-60 s of
+    # relay compile/load, and the full bench must fit the driver window.
+    # Eval forwards measured separately (docs/ROUND4.md): resnet50 1.6 ms,
+    # cross-modal 3.2 ms at batch 16.
     model = ResNetOnly(num_class=10)
     x = jnp.asarray(rs.randn(batch, 224, 224, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x[:1])
-    ev = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
-
-    def feed(out, a):
-        return (a[0], a[1] + out.mean() * 1e-9)
-
-    dt_e = time_chained(ev, feed, (variables, x), chain=20, iters=10)
-    log(f"resnet50 eval fwd (batch {batch}): {dt_e*1e3:.2f} ms")
-    # train step last: it donates (and so deletes) the param buffers
     step, state = make_step(model, tx, variables, (x,))
     dt = time_step_chained(step, state, (x,), iters=10)
     log(f"resnet50 train step (batch {batch}): {dt*1e3:.2f} ms/step, "
@@ -251,13 +250,6 @@ def bench_rgb(batch=16):
     xg = jnp.asarray(rs.randn(batch, 3, 52, 20, 1), jnp.float32)
     xr = jnp.asarray(rs.randn(batch, 224, 224, 15), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), xg[:1], xr[:1])
-
-    def feed2(out, a):
-        return (a[0], a[1], a[2] + out.mean() * 1e-9)
-
-    ev2 = jax.jit(lambda v, xg_, xr_: model.apply(v, xg_, xr_, train=False))
-    dt_e = time_chained(ev2, feed2, (variables, xg, xr), chain=20, iters=10)
-    log(f"cross-modal eval fwd (batch {batch}): {dt_e*1e3:.2f} ms")
     step, state = make_step(model, tx, variables, (xg, xr))
     dt = time_step_chained(step, state, (xg, xr), iters=10)
     log(f"cross-modal train step (batch {batch}): {dt*1e3:.2f} ms/step, "
@@ -276,19 +268,9 @@ def main():
     # (N, V, V, C) intermediate is 4x the activation traffic
     edges_per_s, speedup, pct_sol = bench_kernel(n=64, t=13, v=20, c=256, r=32)
     bench_kernel(n=64, t=26, v=20, c=128, r=16)  # mid layer, context
-    try:
-        samples_per_s = bench_train_step()
-        log(f"train throughput: {samples_per_s:.1f} samples/s")
-        import jax.numpy as jnp
-
-        bf16 = bench_train_step(dtype=jnp.bfloat16)
-        log(f"train throughput (bf16 mixed precision): {bf16:.1f} samples/s")
-        bench_fast_eval()
-        bench_fast_eval(batch=32, ntu=True)  # the shape where the engine wins
-        bench_train_step(batch=32, ntu=True)  # NTU-60 stretch config
-        bench_rgb()  # RGB / cross-modal branch (round-4 verdict item 7)
-    except Exception as e:  # keep the primary metric even if train bench dies
-        log(f"train bench failed: {e}")
+    # primary metric FIRST: the secondary benches below compile several
+    # full models (~30-60 s each cold) and can outlive a driver timeout —
+    # the JSON line must already be on stdout when that happens
     print(
         json.dumps(
             {
@@ -298,8 +280,26 @@ def main():
                 "vs_baseline": round(speedup, 4),
                 "pct_speed_of_light": round(pct_sol, 4),
             }
-        )
+        ),
+        flush=True,
     )
+    # Secondary phases ordered by importance: with warm caches each phase
+    # still costs 80-175 s of relay executable load, and the whole list
+    # runs ~13 min — if the driver window closes first, the high-value
+    # train metrics are already on stderr (and the JSON is out above).
+    try:
+        samples_per_s = bench_train_step()
+        log(f"train throughput: {samples_per_s:.1f} samples/s")
+        import jax.numpy as jnp
+
+        bf16 = bench_train_step(dtype=jnp.bfloat16)
+        log(f"train throughput (bf16 mixed precision): {bf16:.1f} samples/s")
+        bench_train_step(batch=32, ntu=True)  # NTU-60 stretch config
+        bench_fast_eval()
+        bench_fast_eval(batch=32, ntu=True)  # the shape where the engine wins
+        bench_rgb()  # RGB / cross-modal branch (round-4 verdict item 7)
+    except Exception as e:  # the primary metric is already printed above
+        log(f"train bench failed: {e}")
 
 
 if __name__ == "__main__":
