@@ -929,11 +929,21 @@ def _unit_block_n(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
 def _unit_bwd_blocks(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     """(samples per program, T-block) for the backward grid. BT must divide
     T exactly (a padded tail block would feed garbage frames into the dmd
-    accumulation) — _pick_blocks only returns divisors."""
-    return _pick_blocks(
+    accumulation) — _pick_blocks only returns divisors.
+
+    TAMGCN_BWD_BN forces the sample-block size (measurement knob: at nt=1
+    the param kernel runs its phase-C epilogue once per sample block, so a
+    larger bn batches the small per-block MXU matmuls — VMEM permitting)."""
+    bn, bt = _pick_blocks(
         n, t, int(_BWD_BLOCK_BYTES_CAP * _vmem_scale()),
         _padded_sample_row_bytes(v, c, s)
     )
+    force = os.environ.get("TAMGCN_BWD_BN")
+    if force:
+        bn = max(1, min(int(force), n))
+        while n % bn:
+            bn -= 1
+    return bn, bt
 
 
 # The tile-form kernels hold a (bn, S, V, V, C)-f32 refined-adjacency
