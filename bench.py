@@ -174,7 +174,15 @@ def bench_fast_eval(batch=64, ntu=False):
         )
     variables = model.init(jax.random.PRNGKey(0), x[:1])
     flax_eval = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
-    fast = make_fast_eval_fn(model)
+    # measure the ENGINE itself (policy 'auto' would route NW-UCLA to the
+    # flax path and make the comparison trivially 1.0x)
+    import os
+
+    os.environ["TAMGCN_FAST_EVAL_BLOCKS"] = "none"
+    try:
+        fast = make_fast_eval_fn(model)
+    finally:
+        del os.environ["TAMGCN_FAST_EVAL_BLOCKS"]
 
     def feed(out, args):
         return (args[0], args[1] + out.mean() * 1e-9)

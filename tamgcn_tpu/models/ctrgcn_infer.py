@@ -215,7 +215,17 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
 
     from .ctrgcn import CTRGCN, TCNGCNUnit, get_graph
 
-    policy = os.environ.get("TAMGCN_FAST_EVAL_BLOCKS", "none")
+    policy = os.environ.get("TAMGCN_FAST_EVAL_BLOCKS", "auto")
+    if policy == "auto" and use_pallas is None:
+        # measured dispatch (v5e, round 4): the folded-affine engine wins at
+        # the NTU shapes (23.9 vs 27.3 ms, V=25 T=64) and loses at NW-UCLA
+        # (10.1 vs 9.0 ms, V=20 T=52) — --fast_eval must never pessimize,
+        # so small-graph configs take the plain flax eval path (which
+        # already runs the register-tiled aggregation kernels)
+        policy = "none" if model.num_point > 20 else "flax"
+    if policy == "flax" and use_pallas is None:
+        return jax.jit(lambda variables, x: model.apply(
+            variables, x, train=False))
 
     if not isinstance(model, CTRGCN):
         raise TypeError(

@@ -22,11 +22,17 @@ def model_and_vars():
     return model, variables
 
 
-@pytest.mark.parametrize("use_pallas", [True, None])
-def test_fast_eval_matches_flax(model_and_vars, use_pallas):
-    """use_pallas=True: every block through the fused kernel; None: the
-    production dispatch (kernel at C >= 128, XLA folded-affine below)."""
+@pytest.mark.parametrize("use_pallas,policy", [
+    (True, None),      # every block through the whole-block fused kernel
+    (None, "none"),    # engine: tiled-agg + folded-affine everywhere
+    (None, "auto"),    # production dispatch (V=20 -> routes to flax eval)
+], ids=["kernel-all", "engine", "auto"])
+def test_fast_eval_matches_flax(model_and_vars, use_pallas, policy,
+                                monkeypatch):
+    """All make_fast_eval dispatch policies agree with the flax eval."""
     model, variables = model_and_vars
+    if policy is not None:
+        monkeypatch.setenv("TAMGCN_FAST_EVAL_BLOCKS", policy)
     # non-trivial batch stats: perturb them so the BN folding is exercised
     stats = jax.tree_util.tree_map(
         lambda a: a + 0.05 * np.random.RandomState(1).standard_normal(a.shape)
