@@ -200,6 +200,34 @@ def test_unit_dispatch_fallback_on_cpu():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["fold", "unfold", "xla"])
+def test_narrow_dispatch_modes_agree(mode, monkeypatch):
+    """TAMGCN_NARROW_DISPATCH selects the C=64 implementation (folded
+    pallas / unfolded pallas / XLA) for in-context A/B measurement; all
+    three must compute the identical op, fwd + vjp."""
+    monkeypatch.setenv("TAMGCN_NARROW_DISPATCH", mode)
+    args = _make_unit_inputs(n=2, t=8, v=20, c=64, r=8)
+    use_pallas = None if mode == "xla" else True
+
+    def f(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc(*a, use_pallas=use_pallas)))
+
+    np.testing.assert_allclose(
+        np.asarray(unit_ctr_gc(*args, use_pallas=use_pallas)),
+        np.asarray(unit_ctr_gc_xla(*args)),
+        rtol=2e-5, atol=2e-5,
+    )
+    gp = jax.grad(f, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(lambda *a: jnp.sum(jnp.sin(unit_ctr_gc_xla(*a))),
+                  argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x1s", "x2s", "x3s", "w4s", "b4s", "alpha", "As"],
+                          gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"narrow-dispatch ({mode}) grad mismatch: {name}",
+        )
+
+
 def test_unit_narrow_channel_path_matches_xla():
     """Narrow channels (C=64, S*C=192 lanes): the unfolded Pallas path
     (broadcast-form default, 192->256 lane pad) == XLA, fwd + full vjp.
