@@ -178,11 +178,15 @@ def bench_fast_eval(batch=64, ntu=False):
     # flax path and make the comparison trivially 1.0x)
     import os
 
+    prior = os.environ.get("TAMGCN_FAST_EVAL_BLOCKS")
     os.environ["TAMGCN_FAST_EVAL_BLOCKS"] = "none"
     try:
         fast = make_fast_eval_fn(model)
     finally:
-        del os.environ["TAMGCN_FAST_EVAL_BLOCKS"]
+        if prior is None:
+            del os.environ["TAMGCN_FAST_EVAL_BLOCKS"]
+        else:
+            os.environ["TAMGCN_FAST_EVAL_BLOCKS"] = prior
 
     def feed(out, args):
         return (args[0], args[1] + out.mean() * 1e-9)

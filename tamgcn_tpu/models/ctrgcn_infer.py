@@ -215,6 +215,15 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
 
     from .ctrgcn import CTRGCN, TCNGCNUnit, get_graph
 
+    # Validate before resolving the dispatch policy: policy resolution reads
+    # model.num_point and may return the flax path early, so a non-CTRGCN
+    # model must fail with the intended TypeError here, not an AttributeError.
+    if not isinstance(model, CTRGCN):
+        raise TypeError(
+            f"make_fast_eval_fn requires a CTRGCN model, got "
+            f"{type(model).__name__}"
+        )
+
     policy = os.environ.get("TAMGCN_FAST_EVAL_BLOCKS", "auto")
     if policy == "auto" and use_pallas is None:
         # measured dispatch (v5e, round 4): the folded-affine engine wins at
@@ -227,11 +236,6 @@ def make_fast_eval_fn(model, use_pallas: bool | None = None):
         return jax.jit(lambda variables, x: model.apply(
             variables, x, train=False))
 
-    if not isinstance(model, CTRGCN):
-        raise TypeError(
-            f"make_fast_eval_fn requires a CTRGCN model, got "
-            f"{type(model).__name__}"
-        )
     # Block topology mirrors CTRGCN.setup (channel doubling at l5/l8);
     # kernel_size/dilations come from TCNGCNUnit's field defaults — the
     # single block config CTRGCN constructs (models/ctrgcn.py setup()).

@@ -45,11 +45,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
         # within one process), so when the process targets the CPU backend
         # (the multi-chip dryrun) skip the persistent cache entirely — a
         # once-per-round fresh compile beats a latent SIGILL.
-        try:
-            backend = jax.default_backend()
-        except Exception:
-            backend = "unknown"
-        if backend == "cpu":
+        #
+        # Decide from JAX_PLATFORMS rather than jax.default_backend(): the
+        # latter forces backend initialization at import time, which breaks
+        # multi-host runs where jax.distributed.initialize() must run first
+        # (trainer.py calls it after main.py's cache setup).
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        first = platforms.split(",")[0].strip().lower()
+        if first == "cpu":
             return
     path = path or os.environ.get("TAMGCN_COMPILE_CACHE")
     if path is None:
