@@ -80,9 +80,39 @@ def minmax_normalize(x: np.ndarray) -> np.ndarray:
     return (flat * 2 - 1).reshape(x.shape)
 
 
+def sample_positions_without_replacement(
+    n: int, k: int, rng: np.random.Generator
+) -> np.ndarray:
+    """k distinct positions uniform over [0, n), via partial Fisher-Yates.
+
+    Exactly k ``rng.integers(i, n)`` draws (one per output), so the draw
+    stream is trivially mirrorable (runtime/src/augment.cc implements the
+    identical loop over numpy's bounded-Lemire integers) and replayable
+    (tests/test_train_pipeline.py replays it through the reference
+    feeder's ``random.sample`` call site). Distribution == Python
+    ``random.sample(range(n), k)``: uniform without replacement.
+    """
+    swap: dict[int, int] = {}
+    out = np.empty(k, np.int64)
+    for i in range(k):
+        j = int(rng.integers(i, n))
+        out[i] = swap.get(j, j)
+        swap[j] = swap.get(i, i)
+    return out
+
+
 def resample_train(length: int, time_steps: int, rng: np.random.Generator) -> np.ndarray:
-    """Sorted random-with-replacement frame indices (reference :111-114)."""
-    idx = rng.choice(length, size=time_steps, replace=True)
+    """Sorted sample WITHOUT replacement from the 100x-replicated frame list.
+
+    Exact reference semantics (feeder_nucla_gcn.py:111-114:
+    ``sorted(random.sample(list(np.arange(length)) * 100, time_steps))``):
+    uniform without replacement over the multiset where every frame index
+    appears 100 times — each frame can repeat at most 100x and draws are
+    mildly negatively correlated, which differs in distribution from a
+    with-replacement choice (the round-4 implementation; fixed round 5).
+    """
+    pos = sample_positions_without_replacement(length * 100, time_steps, rng)
+    idx = pos % length
     idx.sort()
     return idx
 

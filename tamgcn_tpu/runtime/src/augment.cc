@@ -4,7 +4,8 @@
 // (tamgcn_tpu/data/feeder_nucla_gcn.py, reference feeder/feeder_nucla_gcn.py
 // :85-130): center on joint 1 of frame 0, random 3-D view rotation + scale
 // (train), per-sample min-max normalisation to [-1, 1], temporal resampling
-// (train: sorted random-with-replacement; eval: linspace), and bone/motion
+// (train: sorted sample without replacement from the 100x-replicated frame
+// list, the exact reference distribution; eval: linspace), and bone/motion
 // modality derivation — batched and OpenMP-parallel, so the host CPU keeps a
 // TPU fed at pod scale where the Python/numpy path cannot.
 //
@@ -21,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <numeric>
 #include <vector>
 
 namespace {
@@ -225,11 +227,22 @@ void augment_one(const double* skel, int t_in, int V, int t_out, int train,
           (buf[size_t(i) * 3 + j] - vmin[j]) / (vmax[j] - vmin[j] + 1e-6) * 2.0 -
           1.0;
 
-  // temporal resample indices (reference :108-117)
+  // temporal resample indices (reference :108-117). Train: sorted sample
+  // WITHOUT replacement from the 100x-replicated frame list — the exact
+  // reference distribution (`random.sample(list(np.arange(length)) * 100,
+  // time_steps)`), drawn as the same partial Fisher-Yates loop of
+  // Generator.integers as transforms.sample_positions_without_replacement
+  // so the two backends stay bit-identical.
   std::vector<int> idx(t_out);
   if (train) {
-    for (int t = 0; t < t_out; ++t)
-      idx[t] = int(rng.randint(0, t_in - 1));
+    const int64_t n = int64_t(t_in) * 100;
+    std::vector<int64_t> pool(n);
+    std::iota(pool.begin(), pool.end(), int64_t(0));
+    for (int t = 0; t < t_out; ++t) {
+      const int64_t j = rng.randint(t, n - 1);  // numpy integers(t, n)
+      idx[t] = int(pool[j] % t_in);
+      pool[j] = pool[t];
+    }
     std::sort(idx.begin(), idx.end());
   } else {
     for (int t = 0; t < t_out; ++t)

@@ -183,14 +183,14 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
     # temporal resample — so the streams align draw-for-draw:
     #   * randint(a, b)  ->  int(rng.integers(a, b + 1))   (both inclusive)
     #   * uniform(a, b)  ->  float(rng.uniform(a, b))
-    #   * sample(pop, k) ->  our resample_train draw rng.choice(len, k,
-    #     replace=True) — the reference samples WITHOUT replacement from
-    #     the 100x-replicated frame list and sorts (reference :111-114),
-    #     ours samples WITH replacement and sorts (data/transforms.py:83);
-    #     after the sort the two distributions are NOT the same object, so
-    #     the replay returns OUR draw (the call site only uses its sorted
-    #     value; this injects our resample semantics into the reference
-    #     run, exactly like the injected batch order).
+    #   * sample(pop, k) ->  a TRUE sample-without-replacement of pop
+    #     backed by our stream: the same partial-Fisher-Yates position
+    #     draw our production resample_train makes
+    #     (transforms.sample_positions_without_replacement), applied to
+    #     the reference's own 100x-replicated population — since round 5
+    #     both sides implement the reference's exact distribution
+    #     (sorted sample WITHOUT replacement, reference :111-114), so no
+    #     semantics are injected, only the draws are shared.
     aug_state = {"epoch": 0}
 
     class _ReplayRandom:
@@ -206,8 +206,14 @@ def _run_reference(synth_root, work_dir, ref_model="models.ctrgcn.Model"):
             return float(self.rng.uniform(a, b))
 
         def sample(self, population, k):
-            length = len(population) // 100
-            return list(self.rng.choice(length, size=k, replace=True))
+            from tamgcn_tpu.data.transforms import (
+                sample_positions_without_replacement,
+            )
+
+            pos = sample_positions_without_replacement(
+                len(population), k, self.rng
+            )
+            return [population[p] for p in pos]
 
     # the base Processor injects test_feeder_args['evaluation']=True
     # (processor/processor.py load_data), which the NUCLA feeder's fixed
