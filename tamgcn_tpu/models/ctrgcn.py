@@ -29,7 +29,7 @@ from ..ops.norm import BatchNorm
 
 from ..graphs import get_graph
 from ..ops import ctr_gc_fused
-from ..ops.aggregation import unit_ctr_gc
+from ..ops.aggregation import unit_ctr_gc, unit_ctr_gc_conv3
 from ..ops.inits import (
     fc_init,
     kaiming_normal_fan_out,
@@ -53,6 +53,26 @@ def _torch_linear_bias_init(fan_in: int):
 def _rel_channels(in_channels: int, rel_reduction: int = 8) -> int:
     """Reference models/ctrgcn.py:155-158."""
     return 8 if in_channels in (3, 9) else in_channels // rel_reduction
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter-only twin of a 1x1 nn.Conv: declares the identical
+    kernel/bias tree (same param names, shapes, and inits), so checkpoints
+    are interchangeable between UnitGCN's fused-conv3 path (which consumes
+    the raw weights via ops.unit_ctr_gc_conv3) and the unfused nn.Conv
+    path — both live under the same "conv3" scope."""
+
+    features: int
+    in_features: int
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, 1, self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class CTRGC(nn.Module):
@@ -160,7 +180,6 @@ class UnitGCN(nn.Module):
         x1s = jnp.transpose(x1s, (0, 2, 1, 3))  # (N, S, V, R)
         x2s = e12[..., num_subset * R:].reshape(N, V, num_subset, R)
         x2s = jnp.transpose(x2s, (0, 2, 1, 3))
-        x3s = packed_conv(num_subset * C, num_subset, "conv3")(x)  # (N,T,V,S*C)
         # per-slice fan_out=C (kaiming_normal_fan_out on the unpacked (R, C))
         w4s = self.param(
             "conv4_kernel", kaiming_normal_fan_out_dense, (num_subset, R, C)
@@ -173,10 +192,30 @@ class UnitGCN(nn.Module):
                 raise ValueError("graph_partition='ring' requires a mesh")
             from ..parallel.graph_parallel import ring_unit_ctr_gc
 
-            y = ring_unit_ctr_gc(x1s, x2s, x3s, w4s, b4s, alpha, A, self.mesh)
+            x3s = packed_conv(num_subset * C, num_subset, "conv3")(x)
+            y = ring_unit_ctr_gc(
+                x1s, x2s, x3s, w4s, b4s, alpha, A, self.mesh,
+                use_pallas=self.use_pallas,
+            )
         elif self.graph_partition in ("none", None):
-            y = unit_ctr_gc(
-                x1s, x2s, x3s, w4s, b4s, alpha, A, use_pallas=self.use_pallas
+            # conv3 routes through ops.unit_ctr_gc_conv3: by default the
+            # plain conv3_matmul + round-4 unit_ctr_gc dispatch; with
+            # TAMGCN_FUSE_CONV3=1 the conv3-VJP-fused custom op (built,
+            # measured 45.6 vs 37.9 ms in-context, and retired — see
+            # docs/KERNELS.md "Round 5"). Identical math either way; the
+            # "conv3" param tree is the same nn.Conv tree in both branches.
+            w3k, b3 = _Conv1x1Params(
+                num_subset * C,
+                self.in_channels,
+                kaiming_normal_fan_out_blocked(num_subset),
+                name="conv3",
+            )()
+            # mirror nn.Conv's promote_dtype: compute dtype wins, else the
+            # common result type (keeps f64 equivalence runs f64)
+            dt = self.dtype or jnp.result_type(x, w3k, b3)
+            y = unit_ctr_gc_conv3(
+                x.astype(dt), w3k[0, 0].astype(dt), b3.astype(dt),
+                x1s, x2s, w4s, b4s, alpha, A, use_pallas=self.use_pallas,
             )
         else:
             raise ValueError(

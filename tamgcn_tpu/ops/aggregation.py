@@ -195,6 +195,86 @@ def unit_ctr_gc(
     return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(N, T, V, C)
 
 
+def conv3_matmul(x, w3, b3):
+    """The packed conv3 1x1 as a matmul: x (N,T,V,Cin) @ w3 (Cin,S*C) + b3.
+
+    Same math as the flax nn.Conv it replaces on the fused path (reference
+    models/ctrgcn.py:162 `self.conv3 = nn.Conv2d(...)`); inputs are expected
+    pre-cast to the compute dtype (the caller mirrors nn.Conv's
+    promote_dtype)."""
+    return jnp.einsum("ntvi,io->ntvo", x, w3) + b3
+
+
+@jax.custom_vjp
+def _unit_ctr_gc_conv3_pallas(x, w3, b3, x1s, x2s, w4s, b4s, alpha, As):
+    from .pallas.ctr_gc import unit_ctr_gc_fwd_pallas
+
+    x3s = conv3_matmul(x, w3, b3)
+    return unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As)
+
+
+def _unit_conv3_fwd(x, w3, b3, x1s, x2s, w4s, b4s, alpha, As):
+    from .pallas.ctr_gc import unit_ctr_gc_fwd_pallas
+
+    x3s = conv3_matmul(x, w3, b3)
+    out = unit_ctr_gc_fwd_pallas(x1s, x2s, x3s, w4s, b4s, alpha, As)
+    return out, (x, w3, b3, x1s, x2s, x3s, w4s, b4s, alpha, As)
+
+
+def _unit_conv3_bwd(res, g):
+    """conv3's VJP fused into the dx3 kernel (pallas/ctr_gc.py:
+    unit_ctr_gc_bwd_conv3_pallas): the packed dx3s intermediate stays in
+    VMEM; dW3/db3 ride the cross-grid accumulation; the parameter kernel
+    is the shared one."""
+    from .pallas.ctr_gc import unit_ctr_gc_bwd_conv3_pallas
+
+    x, w3, b3, x1s, x2s, x3s, w4s, b4s, alpha, As = res
+    return unit_ctr_gc_bwd_conv3_pallas(
+        x1s, x2s, g, x, x3s, w3, b3, w4s, b4s, alpha, As
+    )
+
+
+_unit_ctr_gc_conv3_pallas.defvjp(_unit_conv3_fwd, _unit_conv3_bwd)
+
+
+def unit_ctr_gc_conv3(
+    x, w3, b3, x1s, x2s, w4s, b4s, alpha, As, *, use_pallas: bool | None = None
+):
+    """conv3 + unit-level fused CTR-GC op: out = unit_ctr_gc(conv3(x)).
+
+    x (N,T,V,Cin); w3 (Cin, S*C); b3 (S*C,); remaining args as unit_ctr_gc.
+    Spanning conv3 lets the backward keep the packed dx3s (N,T,V,S*C)
+    gradient in VMEM — dx is emitted directly in conv3's input width (17 MB
+    instead of 51 MB at the deep NW-UCLA shape) and dW3/db3 accumulate
+    across the kernel grid (docs/ROUND4.md "Next-round perf candidate";
+    reference anchor models/ctrgcn.py:176).
+
+    MEASURED AND RETIRED (round 5, v5e, batch 64): the fused path loses the
+    in-context train step 45.6 vs 37.9 ms. Ablation (docs/KERNELS.md
+    "Round 5"): ~5.5 ms is the kernel restructure itself (staging dx3
+    through a whole-block VMEM scratch instead of the pipelined out ref,
+    plus the extra x/w3t operands), ~1.1 ms the padded-sublane reshape +
+    db3 reduce, ~1.1 ms the thin-row MXU projections (bf16 no better) —
+    while the entire HBM saving the fusion exists to capture is ~1.1
+    ms/step. TAMGCN_FUSE_CONV3=1 re-enables it for measurement; the
+    default everywhere is the unfused path (conv3_matmul + unit_ctr_gc,
+    measured equal to the round-4 baseline)."""
+    S = x1s.shape[1]
+    C = w3.shape[-1] // S
+    fuse = os.environ.get("TAMGCN_FUSE_CONV3", "0") == "1"
+    eligible = (
+        jax.default_backend() == "tpu" if use_pallas is None else use_pallas
+    )
+    if eligible and fuse and C >= 128 and S * C >= 384:
+        return _unit_ctr_gc_conv3_pallas(
+            x, w3, b3, x1s, x2s, w4s, b4s, alpha, As
+        )
+    x3s = conv3_matmul(x, w3, b3)
+    return unit_ctr_gc(
+        x1s, x2s, x3s, w4s, b4s, alpha, As, use_pallas=use_pallas
+    )
+
+
 def ctr_gc_fused(
     x1: jax.Array,
     x2: jax.Array,

@@ -490,6 +490,92 @@ def _unit_bwd_dx3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
                     res.astype(dx3_ref.dtype))
 
 
+def _unit_bwd_dx3_conv3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
+                                    alpha_ref, A_ref, w3t_ref, x_ref,
+                                    dx_ref, dw3t_ref, db3_ref,
+                                    m_scr, dx3_scr, *, c: int, cin: int,
+                                    lt: int = 128, nacc: int = 1):
+    """conv3-VJP-fused data gradient (round-5; designed in docs/ROUND4.md
+    "Next-round perf candidate").
+
+    The unfused backward writes the packed dx3s (N, T, V, S*C) to HBM
+    (51 MB at the deep NW-UCLA shape) and XLA then reads it twice more —
+    once for dx = dx3s @ w3^T and once for dW3 = x^T @ dx3s (~170 MB of
+    HBM round-trips per layer). This kernel spans conv3's VJP
+    (reference models/ctrgcn.py:176 is the aggregation whose producer
+    conv3 is): each block's dx3 tiles are accumulated into a VMEM scratch
+    exactly as in _unit_bwd_dx3_kernel_tile, then projected through w3^T
+    in-kernel — the only HBM outputs are dx (N, T, V, Cin) plus the
+    cross-grid-accumulated dW3^T / db3, ~34 MB total.
+
+    w3t (S*C, Cin) is conv3's kernel transposed; x (BN, BT, V, Cin) is the
+    conv3 INPUT block (for dW3 = x^T dx3, accumulated as dw3t[sc, cin] so
+    both MXU matmuls contract the padded row axis)."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    # stage 1 depends only on the sample block — once per sample block
+    @pl.when(pl.program_id(1) == 0)
+    def _stage1():
+        for s in range(S):
+            x1 = x1_ref[:, s].astype(jnp.float32)
+            x2 = x2_ref[:, s].astype(jnp.float32)   # (BN, V_v, R)
+            ds = []
+            for u in range(V):
+                ds.append(x1[:, u:u + 1, :] - x2)   # D[u, v]
+            dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
+            m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
+                        w4_ref[s].astype(mm_dtype),
+                        preferred_element_type=jnp.float32,
+                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
+            m_scr[:, s] = ((m + b4_ref[s][None]) * alpha
+                           + A_ref[s][None, :, :, None])
+    BT = g_ref.shape[1]
+    tc = int(os.environ.get("TAMGCN_TILE_TC", "4"))
+    nacc = int(os.environ.get("TAMGCN_TILE_NACC", str(nacc)))
+    for t0 in range(0, BT, tc):
+        th = min(tc, BT - t0)
+        for s in range(S):
+            for l0 in range(0, c, lt):
+                w = min(lt, c - l0)
+                accs = []
+                for a0 in range(nacc):
+                    acc = None
+                    for u in range(a0, V, nacc):
+                        term = (
+                            m_scr[:, s, u, :, l0:l0 + w][:, None]
+                            * g_ref[:, t0:t0 + th, u:u + 1, l0:l0 + w]
+                            .astype(jnp.float32)
+                        )
+                        acc = term if acc is None else acc + term
+                    accs.append(acc)
+                res = accs[0]
+                for a in accs[1:]:
+                    res = res + a
+                dx3_scr[:, t0:t0 + th, :, s * c + l0:s * c + l0 + w] = res
+
+    # stage 3: conv3 VJP from the VMEM-resident dx3 block. Rows are
+    # BN*BT*V (260 at the deep shape) — thin next to XLA's N*T*V-row
+    # matmuls, but the entire dx3s HBM round-trip disappears.
+    d3 = dx3_scr[:].reshape(BN * BT * V, S * c)
+    d3m = d3.astype(mm_dtype)
+    dx = jnp.dot(d3m, w3t_ref[:].astype(mm_dtype),
+                 preferred_element_type=jnp.float32,
+                 precision=_mm_precision(mm_dtype))
+    dx_ref[:] = dx.reshape(BN, BT, V, cin).astype(dx_ref.dtype)
+    xb = x_ref[:].astype(mm_dtype).reshape(BN * BT * V, cin)
+    dw3t_part = jax.lax.dot_general(
+        d3m, xb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(mm_dtype),
+    )
+    db3_part = jnp.sum(d3, axis=0)[None, :]
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    dw3t_ref[:] = jnp.where(first, dw3t_part, dw3t_ref[:] + dw3t_part)
+    db3_ref[:] = jnp.where(first, db3_part, db3_ref[:] + db3_part)
+
+
 def _unit_bwd_dx3_kernel_bcast(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
                                alpha_ref, A_ref, dx3_ref, *, c: int):
     """Broadcast-form data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c].
@@ -869,6 +955,9 @@ def _unit_bwd_param_kernel(x1_ref, x2_ref, g_ref, x3_ref, w4_ref, b4_ref,
 # undersized cap only shrinks the T-block, it never overflows).
 _FWD_BLOCK_BYTES_CAP = 53248 * 24
 _BWD_BLOCK_BYTES_CAP = 40960 * 24
+# TAMGCN_BWD_BN envelope: accounted (dmd scratch + pipeline blocks) bytes a
+# forced sample block may claim (see _unit_bwd_blocks)
+_BWD_FORCE_TOTAL_CAP = 6 << 20
 
 # scoped-VMEM MB per generation relative to the v5e's 16 MB
 _VMEM_SCALE_BY_KIND = (
@@ -934,15 +1023,27 @@ def _unit_bwd_blocks(n: int, t: int, v: int, c: int, s: int) -> tuple[int, int]:
     TAMGCN_BWD_BN forces the sample-block size (measurement knob: at nt=1
     the param kernel runs its phase-C epilogue once per sample block, so a
     larger bn batches the small per-block MXU matmuls — VMEM permitting)."""
-    bn, bt = _pick_blocks(
-        n, t, int(_BWD_BLOCK_BYTES_CAP * _vmem_scale()),
-        _padded_sample_row_bytes(v, c, s)
-    )
+    cap = int(_BWD_BLOCK_BYTES_CAP * _vmem_scale())
+    row = _padded_sample_row_bytes(v, c, s)
+    bn, bt = _pick_blocks(n, t, cap, row)
     force = os.environ.get("TAMGCN_BWD_BN")
     if force:
         bn = max(1, min(int(force), n))
         while n % bn:
             bn -= 1
+        # A forced bn scales the pipeline blocks AND the dmd scratch
+        # (bn, V, V, S*C) — v*row bytes per sample next to the bt*row block
+        # bytes. Clamp bn (then bt) so the accounted total stays in the
+        # known-compiling envelope: bn=2/bt=13 compiles at the deep NW-UCLA
+        # shape (4.9 MB accounted), bn=4 and bn=16/bt=1 overflow Mosaic's
+        # 16 MB scoped-VMEM stack.
+        total_cap = int(_BWD_FORCE_TOTAL_CAP * _vmem_scale())
+        while bn > 1 and bn * row * (v + bt) > total_cap:
+            bn -= 1
+            while n % bn:
+                bn -= 1
+        while bt > 1 and bn * row * (v + bt) > total_cap:
+            bt = max(d for d in range(1, bt) if t % d == 0)
     return bn, bt
 
 
@@ -1106,7 +1207,28 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
         interpret=interp,
     )(x1s, x2s, g, w4s, b4r, alpha2d, Atd)
 
-    # kernel 2: dm accumulation + all parameter gradients
+    dx1s, dx2s, dw4s, db4s, dalpha, dAs = _unit_param_grads(
+        x1s, x2s, g, x3s, w4s, b4s, alpha, As, form=form, interp=interp
+    )
+    # cotangent dtypes must match the primals (bf16 under mixed precision)
+    return dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs
+
+
+def _unit_param_grads(x1s, x2s, g, x3s, w4s, b4s, alpha, As, *, form, interp):
+    """Parameter-gradient kernel call (dm accumulation + all parameter
+    gradients), shared by the unfused and conv3-fused backward wrappers.
+    Returns (dx1s, dx2s, dw4s, db4s, dalpha, dAs) in primal dtypes."""
+    N, S, V, R = x1s.shape
+    T = x3s.shape[1]
+    C = x3s.shape[-1] // S
+    alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    b4r = b4s.reshape(S, 1, C)
+    if form == "tile":
+        param_kernel = _unit_bwd_param_kernel_tile
+    elif form == "bcast":
+        param_kernel = _unit_bwd_param_kernel_bcast
+    else:
+        param_kernel = _unit_bwd_param_kernel
     bn, bt = _unit_bwd_blocks(N, T, V, C, S)
     dx1s, dx2s, dw4s, db4s2, dAd, dalpha2 = pl.pallas_call(
         functools.partial(param_kernel, c=C),
@@ -1167,5 +1289,102 @@ def unit_ctr_gc_bwd_pallas(x1s, x2s, g, x3s, w4s, b4s, alpha, As,
                .astype(As.dtype))
     dalpha = jnp.reshape(dalpha2, jnp.shape(alpha)).astype(alpha.dtype)
     db4s = db4s2.reshape(S, C).astype(b4s.dtype)
-    # cotangent dtypes must match the primals (bf16 under mixed precision)
-    return dx1s, dx2s, dx3s, dw4s.astype(w4s.dtype), db4s, dalpha, dAs
+    return dx1s, dx2s, dw4s.astype(w4s.dtype), db4s, dalpha, dAs
+
+
+def unit_ctr_gc_bwd_conv3_pallas(x1s, x2s, g, x, x3s, w3, b3, w4s, b4s,
+                                 alpha, As, form: str | None = None):
+    """conv3-VJP-fused backward: the complete gradient set of
+    conv3 -> unit CTR-GC, with the packed dx3s (N, T, V, S*C) never
+    touching HBM on the tile-form path.
+
+    x is conv3's INPUT (N, T, V, Cin); w3 (Cin, S*C) its 1x1 kernel;
+    x3s = x @ w3 + b3 the saved forward activation (still consumed by the
+    parameter-gradient kernel). Returns
+    (dx, dw3, db3, dx1s, dx2s, dw4s, db4s, dalpha, dAs).
+
+    Non-tile forms (narrow channels, TAMGCN_CTR_GC_FORM overrides) fall
+    back to the unfused dx3 kernel + XLA projection — same math, the
+    round-3/4 traffic pattern."""
+    N, S, V, R = x1s.shape
+    T = x3s.shape[1]
+    C = x3s.shape[-1] // S
+    Cin = x.shape[-1]
+    form = form or os.environ.get("TAMGCN_CTR_GC_FORM") or _default_form(S * C)
+    interp = _interpret_default()
+    if form != "tile":
+        dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs = unit_ctr_gc_bwd_pallas(
+            x1s, x2s, g, x3s, w4s, b4s, alpha, As, form=form
+        )
+        dx3f = dx3s.astype(jnp.float32) if dx3s.dtype != x.dtype else dx3s
+        dx = jnp.einsum("ntvo,io->ntvi", dx3s, w3).astype(x.dtype)
+        dw3 = jnp.einsum(
+            "ntvi,ntvo->io", x, dx3s, preferred_element_type=jnp.float32
+        ).astype(w3.dtype)
+        db3 = jnp.sum(dx3f, axis=(0, 1, 2)).astype(b3.dtype)
+        return dx, dw3, db3, dx1s, dx2s, dw4s, db4s, dalpha, dAs
+
+    alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
+    b4r = b4s.reshape(S, 1, C)
+    w3t = jnp.swapaxes(w3, 0, 1)  # (S*C, Cin)
+    bn, bt = _unit_block_n(N, T, V, C, S)
+    bn = _fit_tile_scratch(bn, S, V, C)
+    dx, dw3t, db3r = pl.pallas_call(
+        functools.partial(_unit_bwd_dx3_conv3_kernel_tile, c=C, cin=Cin),
+        grid=(N // bn, T // bt),
+        in_specs=[
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, V, R), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bt, V, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, R, C), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, C), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, V, V), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * C, Cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bt, V, Cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, bt, V, Cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * C, Cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S * C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T, V, Cin), x.dtype),
+            jax.ShapeDtypeStruct((S * C, Cin), jnp.float32),
+            jax.ShapeDtypeStruct((1, S * C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, S, V, V, C), jnp.float32),
+            pltpu.VMEM((bn, bt, V, S * C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * S * (T * V * V * C + V * V * R * C)
+            + 4 * N * T * V * S * C * Cin,
+            bytes_accessed=4 * N * (T * V * (C + 2 * Cin) + 2 * S * V * R)
+            + 8 * S * C * Cin,
+            transcendentals=N * S * V * V * R,
+        ),
+        interpret=interp,
+    )(x1s, x2s, g, w4s, b4r, alpha2d, As, w3t, x)
+
+    dx1s, dx2s, dw4s, db4s, dalpha, dAs = _unit_param_grads(
+        x1s, x2s, g, x3s, w4s, b4s, alpha, As, form=form, interp=interp
+    )
+    dw3 = jnp.swapaxes(dw3t, 0, 1).astype(w3.dtype)
+    db3 = db3r[0].astype(b3.dtype)
+    return dx, dw3, db3, dx1s, dx2s, dw4s, db4s, dalpha, dAs

@@ -255,3 +255,52 @@ def test_unit_narrow_channel_path_matches_xla():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"narrow-channel grad mismatch: {name}",
         )
+
+
+def test_unit_ctr_gc_conv3_fused_matches_xla(monkeypatch):
+    """The conv3-VJP-fused custom op (round 5; built, measured in-context,
+    and RETIRED — docs/KERNELS.md "Round 5") stays numerically exact: with
+    TAMGCN_FUSE_CONV3=1 the fused kernel (interpret mode) matches the XLA
+    composition conv3_matmul + unit_ctr_gc_xla, forward and full VJP
+    including dW3/db3/dx."""
+    from tamgcn_tpu.ops.aggregation import conv3_matmul, unit_ctr_gc_conv3
+
+    monkeypatch.setenv("TAMGCN_FUSE_CONV3", "1")
+    rs = np.random.RandomState(0)
+    n, t, v, c, r, s, cin = 2, 8, 20, 128, 16, 3, 64
+    args = (
+        jnp.asarray(rs.randn(n, t, v, cin) * 0.3, jnp.float32),
+        jnp.asarray(rs.randn(cin, s * c) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(s * c) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(n, s, v, r) * 0.3, jnp.float32),
+        jnp.asarray(rs.randn(n, s, v, r) * 0.3, jnp.float32),
+        jnp.asarray(rs.randn(s, r, c) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(s, c) * 0.1, jnp.float32),
+        jnp.asarray([0.7], jnp.float32),
+        jnp.asarray(rs.rand(s, v, v), jnp.float32),
+    )
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc_conv3(*a, use_pallas=True)))
+
+    def loss_ref(x, w3, b3, x1s, x2s, w4s, b4s, alpha, As):
+        x3s = conv3_matmul(x, w3, b3)
+        return jnp.sum(
+            jnp.sin(unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As))
+        )
+
+    got = unit_ctr_gc_conv3(*args, use_pallas=True)
+    want = unit_ctr_gc_xla(
+        args[3], args[4], conv3_matmul(*args[:3]), *args[5:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    gf = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    names = ["dx", "dw3", "db3", "dx1s", "dx2s", "dw4s", "db4s", "dalpha",
+             "dAs"]
+    for name, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4, err_msg=name
+        )
