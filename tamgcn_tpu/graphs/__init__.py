@@ -7,11 +7,13 @@ and mapped onto the registry.
 """
 from __future__ import annotations
 
-from . import ntu_rgb_d, tools, ucla
+from . import ntu_rgb_d, synthetic, tools, ucla
 
 _REGISTRY = {
     "ucla": ucla.Graph,
     "ntu_rgb_d": ntu_rgb_d.Graph,
+    # parametric random-tree graph for the large-V (scene-graph) regime
+    "synthetic": synthetic.Graph,
     # reference config compatibility (config/nucla/gcn.yaml:25 etc.)
     "graph.ucla.Graph": ucla.Graph,
     "graph.ntu_rgb_d.Graph": ntu_rgb_d.Graph,
@@ -29,4 +31,4 @@ def get_graph(name: str, **graph_args):
     return cls(**graph_args)
 
 
-__all__ = ["tools", "ucla", "ntu_rgb_d", "get_graph"]
+__all__ = ["tools", "ucla", "ntu_rgb_d", "synthetic", "get_graph"]
