@@ -32,11 +32,20 @@ class SyntheticSkeletonFeeder:
         self.epoch = 0
 
         # prototypes shared between splits (keyed by seed only), so val is
-        # drawn from the train distribution
+        # drawn from the train distribution. Two per class: an oscillation
+        # direction and a CONSTANT pose offset — the offset survives the
+        # network's global (T, V) mean pooling regardless of the random
+        # phase, so the task is generalizably learnable (round-5 fix: with
+        # sin(t+phase)*proto alone, the phase flips the pooled signal's
+        # sign and trained models memorized train noise while val stayed
+        # at chance — observed on-chip, 12 epochs, val top-1 ~= 1/num_class)
         proto_rng = np.random.Generator(np.random.Philox(key=seed))
         self.proto = proto_rng.normal(size=(num_class, num_point, 3)).astype(
             np.float64
         )
+        self.proto_pose = proto_rng.normal(
+            size=(num_class, num_point, 3)
+        ).astype(np.float64)
         rng = np.random.Generator(np.random.Philox(key=seed + (1 if self.train else 2)))
         self.label = rng.integers(0, num_class, size=num_samples).astype(np.int32)
         self.phase = rng.uniform(0, 2 * np.pi, size=num_samples)
@@ -54,7 +63,10 @@ class SyntheticSkeletonFeeder:
         )
         label = int(self.label[index])
         t = np.linspace(0, 2 * np.pi, self.time_steps)[:, None, None]
-        base = np.sin(t + self.phase[index]) * self.proto[label][None]
+        base = (
+            np.sin(t + self.phase[index]) * self.proto[label][None]
+            + 0.6 * self.proto_pose[label][None]
+        )
         noise = 0.1 * rng.normal(size=base.shape)
         data = T.minmax_normalize(base + noise)  # (T, V, 3)
         data = np.transpose(data, (2, 0, 1))[..., None]  # (3, T, V, 1)

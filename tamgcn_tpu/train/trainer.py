@@ -129,7 +129,20 @@ class RecognitionTrainer:
         arg = self.arg
         test_args = dict(arg.test_feeder_args)
         test_args.setdefault("split", "val")
-        self.test_feeder = get_feeder(arg.feeder, **test_args)
+        # key the test feeder on the run seed too: for the synthetic feeder
+        # the seed selects the class prototypes shared between splits, so a
+        # train feeder at --seed and a test feeder at the default seed were
+        # DIFFERENT tasks (val stuck at/below chance while train memorised —
+        # found by the round-5 bf16 convergence harness); for dataset
+        # feeders the seed only keys the (eval: absent) aug stream
+        if "seed" not in test_args:
+            try:
+                self.test_feeder = get_feeder(
+                    arg.feeder, seed=arg.seed, **test_args)
+            except TypeError:  # feeders without a seed argument
+                self.test_feeder = get_feeder(arg.feeder, **test_args)
+        else:
+            self.test_feeder = get_feeder(arg.feeder, **test_args)
         self.loaders["test"] = Loader(
             self.test_feeder,
             batch_size=arg.test_batch_size,
