@@ -730,6 +730,101 @@ def _param_phase_c(x1_ref, x2_ref, w4_ref, b4_ref, alpha, dmt_scr,
         accum(dalpha_ref, (slice(None), slice(None)), dalpha_local)
 
 
+def _unit_bwd_param_kernel_flat(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
+                                b4_ref, alpha_ref,
+                                dx1_ref, dx2_ref, dw4_ref, db4_ref, dAt_ref,
+                                dalpha_ref, dmt_scr, d_scr, *, c: int,
+                                lt: int = 128):
+    """Flat-2D parameter-gradient schedule (round 5, the task-7 attack).
+
+    Phase attribution on the v5e (docs/KERNELS.md "Round 5") put the tile
+    form's cost at ~125 us for phase B and ~453 us for phase C — phase C
+    is dominated by the padded-sublane relayouts its (BN, V, V, ·) ->
+    (BN*V*V, ·) reshapes force on every one of the N/bn invocations, not
+    by matmul throughput. This schedule stores dm^T and D as FLAT
+    (V*V, lanes) scratches from the start — 400 rows at V=20 is exactly 50
+    aligned sublane tiles — so phase C's matmuls consume them with no
+    reshape anywhere, and the dx1/dx2 per-joint reductions become two tiny
+    selection-matrix MXU matmuls (built from iota; HIGHEST precision so
+    the 400-term sums keep f32-grade accuracy). BN=1 only (the production
+    block size at every backbone shape); the wrapper falls back to the
+    tile form otherwise. Measured standalone: 596 -> 455 us at the deep
+    shape (1.31x); adoption gated on the in-context A/B
+    (TAMGCN_PARAM_SCHED ∈ {flat, tile})."""
+    alpha = alpha_ref[0, 0]
+    BN, S, V, R = x1_ref.shape
+    BT = g_ref.shape[1]
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    first = j == 0
+    first_sample_block = pl.program_id(0) == 0
+
+    # ---- phase B: dmt rows (v*V + u) accumulated in the flat scratch ----
+    for s in range(S):
+        for l0 in range(0, c, lt):
+            w = min(lt, c - l0)
+            accs = [None] * V
+            for t in range(BT):
+                gp = g_ref[0, t, :, l0:l0 + w].astype(jnp.float32)  # (V_u, w)
+                for v in range(V):
+                    x3v = (x3_ref[0, t, v, s * c + l0:s * c + l0 + w]
+                           .astype(jnp.float32)[None, :])
+                    term = gp * x3v
+                    accs[v] = term if accs[v] is None else accs[v] + term
+            for v in range(V):
+                sl = (slice(v * V, v * V + V),
+                      slice(s * c + l0, s * c + l0 + w))
+                dmt_scr[sl] = jnp.where(first, accs[v], dmt_scr[sl] + accs[v])
+
+    # ---- phase C (last T-block): parameter grads from the flat scratches
+    @pl.when(j == nt - 1)
+    def _param_grads():
+        def accum(ref, idx, val):
+            val = val.astype(ref.dtype)
+            ref[idx] = jnp.where(first_sample_block, val, ref[idx] + val)
+
+        # selection matrices for the dx1/dx2 row reductions:
+        # sel_u[(v,u), u'] = [u == u'];  sel_v[(v,u), v'] = [v == v']
+        rows = jax.lax.broadcasted_iota(jnp.int32, (V * V, V), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (V * V, V), 1)
+        sel_u = (rows % V == cols).astype(jnp.float32)
+        sel_v = (rows // V == cols).astype(jnp.float32)
+
+        dalpha_local = jnp.zeros((1, 1), jnp.float32)
+        for s in range(S):
+            x1 = x1_ref[0, s].astype(jnp.float32)
+            x2 = x2_ref[0, s].astype(jnp.float32)
+            for v in range(V):
+                d_scr[v * V:v * V + V, :] = jnp.tanh(x1 - x2[v:v + 1, :])
+            d2 = d_scr[:]                              # (V*V, R), no reshape
+            dmt2 = dmt_scr[:, s * c:(s + 1) * c]       # (V*V, c), lane slice
+            accum(dAt_ref, s, jnp.sum(dmt2, axis=1).reshape(V, V))
+            accum(db4_ref, s, alpha * jnp.sum(dmt2, axis=0)[None, :])
+            accum(dw4_ref, s, alpha * jax.lax.dot_general(
+                d2, dmt2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            p = jnp.dot(d2, w4_ref[s],
+                        preferred_element_type=jnp.float32) + b4_ref[s]
+            dalpha_local = dalpha_local + jnp.sum(dmt2 * p).reshape(1, 1)
+            dd_r = jax.lax.dot_general(
+                dmt2, w4_ref[s], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpre = alpha * dd_r * (1.0 - d2 * d2)       # (V*V, R)
+            dx1_ref[0, s] = jax.lax.dot_general(
+                sel_u, dpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dx1_ref.dtype)
+            dx2_ref[0, s] = (-jax.lax.dot_general(
+                sel_v, dpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )).astype(dx2_ref.dtype)
+        accum(dalpha_ref, (slice(None), slice(None)), dalpha_local)
+
+
 def _unit_bwd_param_kernel_bcast(x1_ref, x2_ref, g_ref, x3_ref, w4_ref,
                                  b4_ref, alpha_ref,
                                  dx1_ref, dx2_ref, dw4_ref, db4_ref, dAt_ref,
@@ -1223,13 +1318,22 @@ def _unit_param_grads(x1s, x2s, g, x3s, w4s, b4s, alpha, As, *, form, interp):
     C = x3s.shape[-1] // S
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
     b4r = b4s.reshape(S, 1, C)
+    bn, bt = _unit_bwd_blocks(N, T, V, C, S)
+    scratch = [pltpu.VMEM((bn, V, V, S * C), jnp.float32)]
     if form == "tile":
         param_kernel = _unit_bwd_param_kernel_tile
+        # flat-2D schedule (round 5): relayout-free phase C, BN=1 only;
+        # TAMGCN_PARAM_SCHED=tile restores the round-4 schedule for A/B
+        if bn == 1 and os.environ.get("TAMGCN_PARAM_SCHED", "flat") == "flat":
+            param_kernel = _unit_bwd_param_kernel_flat
+            scratch = [
+                pltpu.VMEM((V * V, S * C), jnp.float32),
+                pltpu.VMEM((V * V, R), jnp.float32),
+            ]
     elif form == "bcast":
         param_kernel = _unit_bwd_param_kernel_bcast
     else:
         param_kernel = _unit_bwd_param_kernel
-    bn, bt = _unit_bwd_blocks(N, T, V, C, S)
     dx1s, dx2s, dw4s, db4s2, dAd, dalpha2 = pl.pallas_call(
         functools.partial(param_kernel, c=C),
         grid=(N // bn, T // bt),
@@ -1264,9 +1368,7 @@ def _unit_param_grads(x1s, x2s, g, x3s, w4s, b4s, alpha, As, *, form, interp):
             jax.ShapeDtypeStruct((S, V, V), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bn, V, V, S * C), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -1316,7 +1418,7 @@ def unit_ctr_gc_bwd_conv3_pallas(x1s, x2s, g, x, x3s, w3, b3, w4s, b4s,
         dx1s, dx2s, dx3s, dw4s, db4s, dalpha, dAs = unit_ctr_gc_bwd_pallas(
             x1s, x2s, g, x3s, w4s, b4s, alpha, As, form=form
         )
-        dx3f = dx3s.astype(jnp.float32) if dx3s.dtype != x.dtype else dx3s
+        dx3f = dx3s.astype(jnp.float32)  # f32-accumulated db3 sum
         dx = jnp.einsum("ntvo,io->ntvi", dx3s, w3).astype(x.dtype)
         dw3 = jnp.einsum(
             "ntvi,ntvo->io", x, dx3s, preferred_element_type=jnp.float32

@@ -304,3 +304,33 @@ def test_unit_ctr_gc_conv3_fused_matches_xla(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4, err_msg=name
         )
+
+
+def test_unit_param_flat_schedule_matches_tile(monkeypatch):
+    """Round-5 flat-2D param-grad schedule (relayout-free phase C, BN=1)
+    == the round-4 tile schedule == XLA, full VJP. The deep shape's
+    backward blocks pick bn=1, so TAMGCN_PARAM_SCHED selects between the
+    two kernels there."""
+    args = _make_unit_inputs(n=2, t=13, v=20, c=256, r=32)
+
+    def f(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc(*a, use_pallas=True)))
+
+    def f_xla(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc_xla(*a)))
+
+    grads = {}
+    for sched in ("flat", "tile"):
+        monkeypatch.setenv("TAMGCN_PARAM_SCHED", sched)
+        grads[sched] = jax.grad(f, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(f_xla, argnums=tuple(range(7)))(*args)
+    names = ["x1s", "x2s", "x3s", "w4s", "b4s", "alpha", "As"]
+    for name, a, b, c_ in zip(names, grads["flat"], grads["tile"], gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"flat vs tile: {name}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c_), rtol=2e-4, atol=2e-4,
+            err_msg=f"flat vs xla: {name}",
+        )
