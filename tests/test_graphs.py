@@ -56,3 +56,35 @@ def test_k_adjacency_and_multiscale():
     assert k2.shape == (20, 20)
     ms = tools.get_multiscale_spatial_graph(20, g.self_link, g.inward, g.outward)
     assert ms.shape == (5, 20, 20)
+
+
+def test_synthetic_graph_large_v():
+    """Round-5: the parametric random-tree graph (scene-graph regime) —
+    registry lookup, spatial 3-partition shape, tree structure, and the
+    scene256 config's model/feeder/graph wiring agree on V."""
+    import numpy as np
+    import yaml
+
+    from tamgcn_tpu.data import get_feeder
+    from tamgcn_tpu.graphs import get_graph
+
+    g = get_graph("synthetic", num_node=256, seed=3)
+    assert g.A.shape == (3, 256, 256)
+    assert len(g.inward) == 255  # spanning tree: V-1 edges
+    # every non-root vertex has exactly one parent, and parents precede
+    # children (acyclic by construction)
+    parents = dict((c, p) for c, p in g.inward)
+    assert len(parents) == 255 and all(p < c for c, p in parents.items())
+    # seeded: same seed -> same tree, different seed -> different tree
+    assert get_graph("synthetic", num_node=256, seed=3).inward == g.inward
+    assert get_graph("synthetic", num_node=256, seed=4).inward != g.inward
+    # identity partition + column-normalised in/out partitions
+    np.testing.assert_allclose(g.A[0], np.eye(256))
+
+    with open("configs/scene256.yaml") as f:
+        cfg = yaml.safe_load(f)
+    v = cfg["model_args"]["num_point"]
+    assert cfg["model_args"]["graph_args"]["num_node"] == v
+    feeder = get_feeder(cfg["feeder"], **cfg["train_feeder_args"])
+    data, _, _ = feeder[0]
+    assert data.shape == (3, cfg["train_feeder_args"]["time_steps"], v, 1)
