@@ -168,7 +168,13 @@ def unit_ctr_gc(
     if use_pallas is None:
         V_ = x1s.shape[2]
         if C >= 128:
-            use_pallas = jax.default_backend() == "tpu"
+            # the fused kernels hold (V, V, C)-class refined-adjacency
+            # state in VMEM — a skeleton-scale design (V<=25, padded 32).
+            # Large-V graphs (graphs/synthetic.py scene-graph configs) run
+            # the XLA lowering single-chip; at pod scale they take the
+            # edge-partitioned ring, whose per-step V/k blocks land back
+            # inside the kernels' envelope.
+            use_pallas = jax.default_backend() == "tpu" and V_ <= 32
         elif mode == "xla":
             use_pallas = False
         elif mode == "unfold":
