@@ -267,11 +267,14 @@ def unit_ctr_gc_conv3(
     measured equal to the round-4 baseline)."""
     S = x1s.shape[1]
     C = w3.shape[-1] // S
+    V_ = x1s.shape[2]
     fuse = os.environ.get("TAMGCN_FUSE_CONV3", "0") == "1"
     eligible = (
         jax.default_backend() == "tpu" if use_pallas is None else use_pallas
     )
-    if eligible and fuse and C >= 128 and S * C >= 384:
+    # same skeleton-scale joint guard as unit_ctr_gc: the kernels' VMEM
+    # adjacency state is impossible at scene-graph V
+    if eligible and fuse and C >= 128 and S * C >= 384 and V_ <= 32:
         return _unit_ctr_gc_conv3_pallas(
             x, w3, b3, x1s, x2s, w4s, b4s, alpha, As
         )

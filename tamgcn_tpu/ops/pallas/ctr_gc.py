@@ -437,14 +437,15 @@ def _unit_fwd_kernel_tile(x1_ref, x2_ref, x3_ref, w4_ref, b4_ref, alpha_ref,
             out_ref[:, t0:t0 + th, :, l0:l0 + w] = res.astype(out_ref.dtype)
 
 
-def _unit_bwd_dx3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
-                              alpha_ref, A_ref, dx3_ref, m_scr, *, c: int,
-                              lt: int = 128, nacc: int = 1):
-    """Register-tiled data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c]
-    with each (BN, BT, V, lt) output tile accumulated in registers over the
-    V source joints (same rationale as _unit_fwd_kernel_tile); the packed
-    S*C output never needs the g replica the full-width form concatenated."""
-    alpha = alpha_ref[0, 0]
+def _dx3_tile_stages(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha, A_ref,
+                     m_scr, write_tile, *, c: int, lt: int, nacc: int):
+    """Shared stages of the register-tiled data gradient: stage 1 builds
+    the refined adjacency into m_scr once per sample block; stage 2
+    accumulates each (BN, th, V, w) dx3 tile in registers over the V
+    source joints and hands it to `write_tile(t0, th, s, l0, w, res)` —
+    the unfused kernel writes the output ref, the conv3-fused twin a VMEM
+    scratch. One body so the TAMGCN_TILE_TC/NACC knobs and the
+    mm_dtype/precision policy cannot diverge between the two."""
     BN, S, V, R = x1_ref.shape
     mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
 
@@ -486,8 +487,24 @@ def _unit_bwd_dx3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
                 res = accs[0]
                 for a in accs[1:]:
                     res = res + a
-                dx3_ref[:, t0:t0 + th, :, s * c + l0:s * c + l0 + w] = (
-                    res.astype(dx3_ref.dtype))
+                write_tile(t0, th, s, l0, w, res)
+    return mm_dtype
+
+
+def _unit_bwd_dx3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
+                              alpha_ref, A_ref, dx3_ref, m_scr, *, c: int,
+                              lt: int = 128, nacc: int = 1):
+    """Register-tiled data gradient: dx3_s[t,v,c] = sum_u M_s[u,v,c] g[t,u,c]
+    with each (BN, BT, V, lt) output tile accumulated in registers over the
+    V source joints (same rationale as _unit_fwd_kernel_tile); the packed
+    S*C output never needs the g replica the full-width form concatenated."""
+
+    def write_tile(t0, th, s, l0, w, res):
+        dx3_ref[:, t0:t0 + th, :, s * c + l0:s * c + l0 + w] = (
+            res.astype(dx3_ref.dtype))
+
+    _dx3_tile_stages(x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref[0, 0],
+                     A_ref, m_scr, write_tile, c=c, lt=lt, nacc=nacc)
 
 
 def _unit_bwd_dx3_conv3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
@@ -511,49 +528,16 @@ def _unit_bwd_dx3_conv3_kernel_tile(x1_ref, x2_ref, g_ref, w4_ref, b4_ref,
     w3t (S*C, Cin) is conv3's kernel transposed; x (BN, BT, V, Cin) is the
     conv3 INPUT block (for dW3 = x^T dx3, accumulated as dw3t[sc, cin] so
     both MXU matmuls contract the padded row axis)."""
-    alpha = alpha_ref[0, 0]
     BN, S, V, R = x1_ref.shape
-    mm_dtype = jnp.bfloat16 if g_ref.dtype == jnp.bfloat16 else jnp.float32
 
-    # stage 1 depends only on the sample block — once per sample block
-    @pl.when(pl.program_id(1) == 0)
-    def _stage1():
-        for s in range(S):
-            x1 = x1_ref[:, s].astype(jnp.float32)
-            x2 = x2_ref[:, s].astype(jnp.float32)   # (BN, V_v, R)
-            ds = []
-            for u in range(V):
-                ds.append(x1[:, u:u + 1, :] - x2)   # D[u, v]
-            dstack = jnp.tanh(jnp.stack(ds, axis=1))  # (BN, u, v, R)
-            m = jnp.dot(dstack.reshape(BN * V * V, R).astype(mm_dtype),
-                        w4_ref[s].astype(mm_dtype),
-                        preferred_element_type=jnp.float32,
-                     precision=_mm_precision(mm_dtype)).reshape(BN, V, V, c)
-            m_scr[:, s] = ((m + b4_ref[s][None]) * alpha
-                           + A_ref[s][None, :, :, None])
+    def write_tile(t0, th, s, l0, w, res):
+        dx3_scr[:, t0:t0 + th, :, s * c + l0:s * c + l0 + w] = res
+
+    mm_dtype = _dx3_tile_stages(
+        x1_ref, x2_ref, g_ref, w4_ref, b4_ref, alpha_ref[0, 0], A_ref,
+        m_scr, write_tile, c=c, lt=lt, nacc=nacc,
+    )
     BT = g_ref.shape[1]
-    tc = int(os.environ.get("TAMGCN_TILE_TC", "4"))
-    nacc = int(os.environ.get("TAMGCN_TILE_NACC", str(nacc)))
-    for t0 in range(0, BT, tc):
-        th = min(tc, BT - t0)
-        for s in range(S):
-            for l0 in range(0, c, lt):
-                w = min(lt, c - l0)
-                accs = []
-                for a0 in range(nacc):
-                    acc = None
-                    for u in range(a0, V, nacc):
-                        term = (
-                            m_scr[:, s, u, :, l0:l0 + w][:, None]
-                            * g_ref[:, t0:t0 + th, u:u + 1, l0:l0 + w]
-                            .astype(jnp.float32)
-                        )
-                        acc = term if acc is None else acc + term
-                    accs.append(acc)
-                res = accs[0]
-                for a in accs[1:]:
-                    res = res + a
-                dx3_scr[:, t0:t0 + th, :, s * c + l0:s * c + l0 + w] = res
 
     # stage 3: conv3 VJP from the VMEM-resident dx3 block. Rows are
     # BN*BT*V (260 at the deep shape) — thin next to XLA's N*T*V-row
@@ -1431,6 +1415,19 @@ def unit_ctr_gc_bwd_conv3_pallas(x1s, x2s, g, x, x3s, w3, b3, w4s, b4s,
     w3t = jnp.swapaxes(w3, 0, 1)  # (S*C, Cin)
     bn, bt = _unit_block_n(N, T, V, C, S)
     bn = _fit_tile_scratch(bn, S, V, C)
+    # _unit_block_n budgets only the m_scr scratch + x3-class blocks; this
+    # kernel additionally holds the dx3_scr (bn, bt, V, S*C) f32 scratch
+    # and the g/x/dx pipeline blocks. Clamp bt so the accounted total stays
+    # inside the same envelope the forced-knob path uses (the measured
+    # deep/mid shapes land at ~3.4 MB accounted and keep their blocks).
+    row = _padded_sample_row_bytes(v=V, c=C, s=S)
+    row_cin = (-(-V // 8) * 8) * (-(-Cin // 128) * 128) * 4
+    row_c = (-(-V // 8) * 8) * (-(-C // 128) * 128) * 4
+    cap = int(_BWD_FORCE_TOTAL_CAP * _vmem_scale())
+    while bt > 1 and (
+        bn * V * row + bn * bt * (2 * row + row_c + 2 * row_cin) > cap
+    ):
+        bt = max(d for d in range(1, bt) if T % d == 0)
     dx, dw3t, db3r = pl.pallas_call(
         functools.partial(_unit_bwd_dx3_conv3_kernel_tile, c=C, cin=Cin),
         grid=(N // bn, T // bt),

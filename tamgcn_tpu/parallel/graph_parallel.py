@@ -272,15 +272,17 @@ def ring_unit_ctr_gc(
     body elsewhere; True forces the kernel body (interpret mode off-TPU,
     for the CPU-mesh validation tests); False forces the einsum body.
     """
-    from ..ops.aggregation import unit_ctr_gc, unit_ctr_gc_xla
+    from ..ops.aggregation import unit_ctr_gc
 
     k = mesh.shape[axis_name]
     if k == 1:
-        if use_pallas:
-            return unit_ctr_gc(
-                x1s, x2s, x3s, w4s, b4s, alpha, As, use_pallas=use_pallas
-            )
-        return unit_ctr_gc_xla(x1s, x2s, x3s, w4s, b4s, alpha, As)
+        # degenerate ring: the dense op with ITS dispatch semantics —
+        # use_pallas=None routes by backend/shape exactly like the
+        # graph_partition='none' path (a single-chip run of a ring config
+        # must not silently drop the kernels), False forces XLA
+        return unit_ctr_gc(
+            x1s, x2s, x3s, w4s, b4s, alpha, As, use_pallas=use_pallas
+        )
     kernel_body = (
         jax.default_backend() == "tpu" if use_pallas is None else use_pallas
     )

@@ -22,7 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
-#include <numeric>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -235,13 +235,18 @@ void augment_one(const double* skel, int t_in, int V, int t_out, int train,
   // so the two backends stay bit-identical.
   std::vector<int> idx(t_out);
   if (train) {
+    // partial Fisher-Yates over the VIRTUAL replicated list: only the
+    // O(t_out) touched positions live in the map (the feeding path is
+    // hot; a materialised t_in*100 pool would be O(100*t_in) per sample)
     const int64_t n = int64_t(t_in) * 100;
-    std::vector<int64_t> pool(n);
-    std::iota(pool.begin(), pool.end(), int64_t(0));
+    std::unordered_map<int64_t, int64_t> swapped;
+    swapped.reserve(size_t(t_out) * 2);
     for (int t = 0; t < t_out; ++t) {
       const int64_t j = rng.randint(t, n - 1);  // numpy integers(t, n)
-      idx[t] = int(pool[j] % t_in);
-      pool[j] = pool[t];
+      auto itj = swapped.find(j);
+      idx[t] = int((itj == swapped.end() ? j : itj->second) % t_in);
+      auto itt = swapped.find(t);
+      swapped[j] = (itt == swapped.end()) ? t : itt->second;
     }
     std::sort(idx.begin(), idx.end());
   } else {

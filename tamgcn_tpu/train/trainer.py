@@ -27,7 +27,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..data import Loader, get_feeder
+from ..data import Loader, feeder_accepts_seed, get_feeder
 from ..data.loader import prefetch
 from ..models import get_model
 from ..parallel.mesh import make_mesh, replicated, shard_batch
@@ -97,15 +97,12 @@ class RecognitionTrainer:
             train_args.setdefault("split", "train")
             # the augmentation stream is keyed on the run seed (the feeder's
             # per-(seed, epoch, index) Philox); without this the aug always
-            # ran on the feeder default seed regardless of --seed
-            if "seed" not in train_args:
-                try:
-                    self.train_feeder = get_feeder(
-                        arg.feeder, seed=arg.seed, **train_args)
-                except TypeError:  # feeders without an aug seed (e.g. RGB)
-                    self.train_feeder = get_feeder(arg.feeder, **train_args)
-            else:
-                self.train_feeder = get_feeder(arg.feeder, **train_args)
+            # ran on the feeder default seed regardless of --seed. Probed by
+            # constructor signature — catching TypeError from __init__ could
+            # swallow an unrelated error and silently drop the seed.
+            if "seed" not in train_args and feeder_accepts_seed(arg.feeder):
+                train_args["seed"] = arg.seed
+            self.train_feeder = get_feeder(arg.feeder, **train_args)
             self.loaders["train"] = Loader(
                 self.train_feeder,
                 batch_size=arg.batch_size,
@@ -135,14 +132,9 @@ class RecognitionTrainer:
         # DIFFERENT tasks (val stuck at/below chance while train memorised —
         # found by the round-5 bf16 convergence harness); for dataset
         # feeders the seed only keys the (eval: absent) aug stream
-        if "seed" not in test_args:
-            try:
-                self.test_feeder = get_feeder(
-                    arg.feeder, seed=arg.seed, **test_args)
-            except TypeError:  # feeders without a seed argument
-                self.test_feeder = get_feeder(arg.feeder, **test_args)
-        else:
-            self.test_feeder = get_feeder(arg.feeder, **test_args)
+        if "seed" not in test_args and feeder_accepts_seed(arg.feeder):
+            test_args["seed"] = arg.seed
+        self.test_feeder = get_feeder(arg.feeder, **test_args)
         self.loaders["test"] = Loader(
             self.test_feeder,
             batch_size=arg.test_batch_size,
