@@ -334,3 +334,30 @@ def test_unit_param_flat_schedule_matches_tile(monkeypatch):
             np.asarray(a), np.asarray(c_), rtol=2e-4, atol=2e-4,
             err_msg=f"flat vs xla: {name}",
         )
+
+
+def test_unit_vjp_ntu_v25_matches_xla():
+    """NTU joint count (V=25, sublane-padded to 32; V*V=625 rows pad to 632
+    in the flat param schedule): unit-level kernels == XLA, fwd + full VJP.
+    bn=1 at this shape, so the round-5 flat schedule is the one under test."""
+    args = _make_unit_inputs(n=2, t=16, v=25, c=128, r=16)
+
+    def f_pallas(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc(*a, use_pallas=True)))
+
+    def f_xla(*a):
+        return jnp.sum(jnp.sin(unit_ctr_gc_xla(*a)))
+
+    np.testing.assert_allclose(
+        np.asarray(unit_ctr_gc(*args, use_pallas=True)),
+        np.asarray(unit_ctr_gc_xla(*args)),
+        rtol=2e-5, atol=2e-5,
+    )
+    gp = jax.grad(f_pallas, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(f_xla, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x1s", "x2s", "x3s", "w4s", "b4s", "alpha", "As"],
+                          gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"V=25 grad mismatch: {name}",
+        )
