@@ -43,6 +43,7 @@ class ResNetGCNAttention(nn.Module):
     # BatchNorms in batch-stat mode and updates their running buffers.
     freeze_gcn_bn: bool = True
     use_pallas: bool | None = None
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     def setup(self):
         if self.graph is None:
@@ -57,12 +58,18 @@ class ResNetGCNAttention(nn.Module):
             drop_out=self.drop_out,
             adaptive=self.adaptive,
             use_pallas=self.use_pallas,
+            dtype=self.dtype,
         )
-        self.resnet = resnet50(in_channels=self.in_channels_rgb)
+        self.resnet = resnet50(
+            in_channels=self.in_channels_rgb, dtype=self.dtype
+        )
         gcn_dim, rgb_dim = 256, 2048
-        self.att_dense1 = nn.Dense(rgb_dim // 2, name="attention_transform_dense1")
-        self.att_bn = BatchNorm(**BN, name="attention_transform_bn")
-        self.att_dense2 = nn.Dense(rgb_dim, name="attention_transform_dense2")
+        self.att_dense1 = nn.Dense(rgb_dim // 2, dtype=self.dtype,
+                                   name="attention_transform_dense1")
+        self.att_bn = BatchNorm(**BN, dtype=self.dtype,
+                                name="attention_transform_bn")
+        self.att_dense2 = nn.Dense(rgb_dim, dtype=self.dtype,
+                                   name="attention_transform_dense2")
         self.classifier = nn.Dense(self.num_class, name="classifier")
 
     def __call__(self, x_gcn, x_rgb, *, train: bool = False):
@@ -84,7 +91,9 @@ class ResNetGCNAttention(nn.Module):
         # 3. channel gate + global pool + classify (reference :112-120)
         f_att = f_rgb * att[:, None, None, :]
         out = f_att.mean(axis=(1, 2))
-        return self.classifier(out)
+        # logits in f32 (promote, not cast — f64 equivalence stays f64)
+        out = self.classifier(out)
+        return out.astype(jnp.promote_types(out.dtype, jnp.float32))
 
     def extract_feature(self, x_gcn, *, train: bool = False):
         return self.gcn.extract_feature(x_gcn, train=train)

@@ -19,10 +19,12 @@ class ResNetOnly(nn.Module):
     num_class: int = 10
     pretrained: Any = None  # None or path to torchvision-resnet50 .npz
     block_dropout: float = 0.0
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     def setup(self):
         self.model = resnet50(
-            num_classes=self.num_class, block_dropout=self.block_dropout
+            num_classes=self.num_class, block_dropout=self.block_dropout,
+            dtype=self.dtype,
         )
 
     def __call__(self, x, *, train: bool = False):

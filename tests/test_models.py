@@ -151,3 +151,32 @@ def test_ctrgcn_bf16_compute_dtype():
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
         assert leaf.dtype == jnp.float32
+
+
+def test_rgb_models_bf16_mixed_precision():
+    """Round-5: the RGB branch supports bf16 mixed precision like the GCN —
+    compute in bf16, params f32, logits promoted to f32 (measured 1.54x on
+    the v5e, docs/KERNELS.md "bf16 RGB branch")."""
+    from tamgcn_tpu.models.resnet_gcn_attention import ResNetGCNAttention
+    from tamgcn_tpu.models.resnet_only import ResNetOnly
+
+    rs = np.random.RandomState(0)
+    m = ResNetOnly(num_class=10, dtype=jnp.bfloat16)
+    x = jnp.asarray(rs.randn(2, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x[:1])
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 10) and out.dtype == jnp.float32
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(v["params"])
+    )
+
+    fm = ResNetGCNAttention(
+        num_class=10, num_point=20, num_person=1, graph="ucla",
+        use_pallas=False, dtype=jnp.bfloat16,
+    )
+    xg = jnp.asarray(rs.randn(2, 3, 16, 20, 1), jnp.float32)
+    xr = jnp.asarray(rs.randn(2, 64, 64, 15), jnp.float32)
+    vf = fm.init(jax.random.PRNGKey(0), xg[:1], xr[:1])
+    out = fm.apply(vf, xg, xr, train=False)
+    assert out.shape == (2, 10) and out.dtype == jnp.float32
