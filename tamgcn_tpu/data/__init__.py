@@ -31,6 +31,10 @@ def resolve_feeder(name: str):
         from .synthetic import SyntheticFusionFeeder
 
         return SyntheticFusionFeeder
+    if name in ("synthetic_rgb",):
+        from .synthetic import SyntheticRGBFeeder
+
+        return SyntheticRGBFeeder
     raise KeyError(f"unknown feeder {name!r}")
 
 

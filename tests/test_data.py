@@ -137,6 +137,42 @@ def test_synthetic_feeder_and_registry():
     assert 0 <= label < 10
 
 
+def test_synthetic_rgb_feeder():
+    f = get_feeder("synthetic_rgb", num_samples=8, image_size=64,
+                   split="train", seed=1)
+    img, label, index = f[0]
+    assert img.shape == (3, 64, 64) and img.dtype == np.float32
+    assert 0 <= label < 10 and index == 0
+    # prototypes shared across splits (val drawn from the train distribution)
+    v = get_feeder("synthetic_rgb", num_samples=4, image_size=64,
+                   split="val", seed=1)
+    np.testing.assert_array_equal(f.proto_rgb, v.proto_rgb)
+    # deterministic per (epoch, index); epoch changes the noise draw
+    a = f[3][0]
+    f.set_epoch(0)
+    np.testing.assert_array_equal(a, f[3][0])
+    f.set_epoch(1)
+    assert not np.array_equal(a, f[3][0])
+    # frame stacking matches the ResNet feeder contract
+    s = get_feeder("synthetic_rgb", num_samples=2, image_size=32,
+                   temporal_rgb_frames=5, split="train", seed=0)
+    assert s[0][0].shape == (15, 32, 32)
+
+
+def test_synthetic_fusion_rgb_class_signal():
+    g = get_feeder("synthetic_fusion", num_samples=6, split="train", seed=1,
+                   image_size=32)
+    # samples of the same class share the prototype; the class signal must
+    # dominate the per-sample noise (0.5-scale proto vs 0.3-scale noise)
+    labels = [g[i][2] for i in range(6)]
+    rgbs = [g[i][1] for i in range(6)]
+    for i in range(6):
+        proto = np.concatenate([g.proto_rgb[labels[i]]] * g.temporal_rgb_frames,
+                               axis=0)
+        resid = rgbs[i] - proto
+        assert np.abs(resid).mean() < np.abs(rgbs[i] - proto.mean()).mean()
+
+
 def test_tools_random_move_shapes():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(3, 20, 20, 1))

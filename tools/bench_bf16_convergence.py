@@ -11,9 +11,15 @@ precision at all; this is the framework's net-new claim, so it carries its
 own convergence artifact (numbers recorded in docs/KERNELS.md "bf16
 convergence" once run on-chip).
 
+Round 5 extends the same harness to the RGB family (--family rgb):
+ResNet-50 on synthetic class-prototype images (configs/nucla/smoke_resnet.yaml),
+so the bf16 RGB branch (configs/nucla/resnet_bf16.yaml) carries convergence
+evidence too, not just its 1.54x throughput number.
+
 Usage:
     PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_bf16_convergence.py \
-        [--epochs 12] [--samples 256] [--batch 32] [--out /tmp/bf16_conv.json]
+        [--family gcn|rgb] [--epochs 12] [--samples 256] [--batch 32] \
+        [--out /tmp/bf16_conv.json]
 """
 from __future__ import annotations
 
@@ -26,14 +32,21 @@ import tempfile
 import numpy as np
 
 
+CONFIGS = {
+    # family -> the smoke config trained in both dtypes
+    "gcn": "configs/nucla/smoke.yaml",
+    "rgb": "configs/nucla/smoke_resnet.yaml",
+}
+
+
 def run_one(tag: str, dtype: str | None, epochs: int, samples: int,
-            batch: int, seed: int, workroot: str):
+            batch: int, seed: int, workroot: str, family: str):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import main as cli
 
     work_dir = os.path.join(workroot, tag)
     argv = [
-        "recognition", "-c", "configs/nucla/smoke.yaml",
+        "recognition", "-c", CONFIGS[family],
         "--work_dir", work_dir,
         "--num_epoch", str(epochs),
         "--eval_interval", "1",
@@ -72,17 +85,21 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--tol", type=float, default=0.03,
                     help="allowed |best_top1(f32) - best_top1(bf16)|")
+    ap.add_argument("--family", choices=sorted(CONFIGS), default="gcn",
+                    help="model family to train: gcn (CTR-GCN on synthetic "
+                         "skeletons) or rgb (ResNet-50 on synthetic images)")
     args = ap.parse_args()
 
     workroot = tempfile.mkdtemp(prefix="bf16conv_")
     f32 = run_one("f32", None, args.epochs, args.samples, args.batch,
-                  args.seed, workroot)
+                  args.seed, workroot, args.family)
     bf16 = run_one("bf16", "bfloat16", args.epochs, args.samples, args.batch,
-                   args.seed, workroot)
+                   args.seed, workroot, args.family)
 
     delta = abs(f32["best_top1"] - bf16["best_top1"])
     record = {
-        "config": {"epochs": args.epochs, "samples": args.samples,
+        "config": {"family": args.family, "epochs": args.epochs,
+                   "samples": args.samples,
                    "batch": args.batch, "seed": args.seed},
         "f32": f32,
         "bf16": bf16,
@@ -90,7 +107,7 @@ def main():
         "within_tol": bool(delta <= args.tol),
     }
     print(json.dumps({
-        "metric": "bf16_convergence_best_top1_delta",
+        "metric": f"bf16_convergence_best_top1_delta_{args.family}",
         "value": record["best_top1_delta"],
         "unit": "top1_fraction",
         "f32_best_top1": f32["best_top1"],
