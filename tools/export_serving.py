@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""AOT serving export: serialize a trained model's eval forward to StableHLO.
+
+The deployment path the reference does not have: `jax.export` lowers the
+jitted eval forward ONCE (no device needed beyond tracing) and serializes
+the result — weights baked in — to a single portable artifact that any
+later process (a serving binary, a different host, a newer jax) can
+deserialize and `.call()` without the framework, the model code, or the
+Python config stack. TPU-idiomatic by construction: the artifact is the
+same StableHLO XLA compiles on-chip, so serving runs the exact bytes
+training validated.
+
+Features:
+  * --poly_batch exports with a symbolic batch dimension, so one artifact
+    serves any batch size (the serving binary picks it at call time).
+    Tradeoff: Pallas kernel grids need static shapes, so poly-batch
+    artifacts use the XLA aggregation lowering; FIXED-batch artifacts
+    (the default) embed the production Pallas kernels.
+  * --platforms cpu,tpu produces one multi-platform artifact (e.g. CPU
+    canary + TPU fleet from the same file).
+  * --weights loads an orbax checkpoint dir (the trainer's own format,
+    best/epochN) before export; omitted = freshly-initialized params
+    (pipeline validation).
+  * The tool round-trips its own artifact (deserialize + call) and
+    verifies the logits match the live model before reporting success.
+
+Usage:
+    python tools/export_serving.py -c configs/nucla/gcn.yaml \
+        [--weights work_dir/checkpoints] [--batch 64] [--time 52] \
+        [--poly_batch] [--platforms tpu,cpu] --out /tmp/ctrgcn.stablehlo
+
+Reference parity anchor: the reference's only deployment story is
+`processor/recognition.py` test-phase pickles (no export of any kind);
+this is a net-new serving capability.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+SKELETON_MODELS = ("ctrgcn", "stgcn", "models.ctrgcn.Model", "models.stgcn.Model")
+RGB_MODELS = ("resnet_only", "models.resnet_only.Model")
+
+
+def example_inputs(arg, batch: int, time_steps: int):
+    """Example (zero) inputs matching the config's model family."""
+    ma = dict(arg.model_args or {})
+    if arg.model in SKELETON_MODELS:
+        shape = (batch, ma.get("in_channels", 3), time_steps,
+                 ma.get("num_point", 25), ma.get("num_person", 2))
+        return (np.zeros(shape, np.float32),)
+    if arg.model in RGB_MODELS:
+        frames = int(dict(arg.test_feeder_args or {}).get(
+            "temporal_rgb_frames", 1))
+        size = int(dict(arg.test_feeder_args or {}).get("size", 224))
+        return (np.zeros((batch, 3 * frames, size, size), np.float32),)
+    raise SystemExit(
+        f"export_serving: no example-input rule for model {arg.model!r} "
+        f"(supported: {SKELETON_MODELS + RGB_MODELS})")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--out", required=True, help="output artifact path")
+    ap.add_argument("--weights", default=None,
+                    help="orbax checkpoint dir (trainer format); "
+                         "default: fresh init")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="example batch size (default: config "
+                         "test_batch_size)")
+    ap.add_argument("--time", type=int, default=52,
+                    help="skeleton time steps (NW-UCLA resample length)")
+    ap.add_argument("--poly_batch", action="store_true",
+                    help="export with a symbolic batch dimension")
+    ap.add_argument("--platforms", default=None,
+                    help="comma list (cpu,tpu,cuda); default: current "
+                         "backend")
+    ns, rest = ap.parse_known_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from tamgcn_tpu.models import get_model
+    from tamgcn_tpu.train.config import base_parser, load_config
+
+    arg = load_config(rest, parser=base_parser(add_help=False))
+    model_args = dict(arg.model_args or {})
+    if ns.poly_batch and arg.model in SKELETON_MODELS:
+        # Pallas grids are sized from concrete shapes; a symbolic batch
+        # dimension cannot pick kernel blocks. Poly-batch artifacts route
+        # the aggregation through the XLA lowering (shape-polymorphic by
+        # construction); fixed-batch artifacts keep the Pallas kernels.
+        model_args["use_pallas"] = False
+    model = get_model(arg.model, **model_args)
+
+    batch = ns.batch or arg.test_batch_size
+    xs = example_inputs(arg, batch, ns.time)
+
+    rng = jax.random.PRNGKey(arg.seed)
+    variables = model.init(rng, *(jnp.asarray(x) for x in xs), train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    if ns.weights:
+        from tamgcn_tpu.train.checkpoint import Checkpointer
+
+        ckptr = Checkpointer(ns.weights)
+        name = "best" if ckptr.exists("best") else f"epoch{ckptr.latest_epoch()}"
+        tree = ckptr.restore(name, target={
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+            "step": np.zeros((), np.int32),
+        })
+        params, batch_stats = tree["params"], tree["batch_stats"]
+        print(f"loaded weights: {ns.weights}/{name}", file=sys.stderr)
+
+    frozen = {"params": params, "batch_stats": batch_stats}
+
+    def serve_fn(*inputs):
+        return model.apply(frozen, *inputs, train=False)
+
+    platforms = (tuple(p.strip() for p in ns.platforms.split(","))
+                 if ns.platforms else None)
+
+    if ns.poly_batch:
+        b = jexport.symbolic_shape("b")[0]
+        spec = tuple(
+            jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype) for x in xs)
+    else:
+        spec = tuple(jnp.asarray(x) for x in xs)
+
+    exported = jexport.export(jax.jit(serve_fn), platforms=platforms)(*spec)
+    data = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(ns.out)), exist_ok=True)
+    with open(ns.out, "wb") as f:
+        f.write(data)
+
+    # roundtrip: deserialize the artifact and verify it reproduces the live
+    # model's logits (and, under --poly_batch, that a second batch size runs)
+    with open(ns.out, "rb") as f:
+        reloaded = jexport.deserialize(f.read())
+    got = np.asarray(reloaded.call(*(jnp.asarray(x) for x in xs)))
+    want = np.asarray(serve_fn(*(jnp.asarray(x) for x in xs)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    poly_ok = None
+    if ns.poly_batch:
+        half = tuple(np.asarray(x[: max(1, batch // 2)]) for x in xs)
+        poly_ok = np.asarray(reloaded.call(*half)).shape[0] == max(1, batch // 2)
+        assert poly_ok
+
+    print(json.dumps({
+        "metric": "serving_export_roundtrip",
+        "artifact": ns.out,
+        "bytes": len(data),
+        "platforms": list(reloaded.platforms),
+        "poly_batch": bool(ns.poly_batch),
+        "input_shapes": [list(np.asarray(x).shape) for x in xs],
+        "output_shape": list(got.shape),
+        "roundtrip_max_abs_err": float(np.max(np.abs(got - want))),
+    }))
+
+
+if __name__ == "__main__":
+    main()
