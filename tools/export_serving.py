@@ -47,6 +47,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SKELETON_MODELS = ("ctrgcn", "stgcn", "models.ctrgcn.Model", "models.stgcn.Model")
 RGB_MODELS = ("resnet_only", "models.resnet_only.Model")
+FUSION_MODELS = ("resnet_gcn_attention",
+                 "models.resnet_gcn_attention.ResNet_GCN_Attention")
 
 
 def example_inputs(arg, batch: int, time_steps: int):
@@ -61,9 +63,16 @@ def example_inputs(arg, batch: int, time_steps: int):
             "temporal_rgb_frames", 1))
         size = int(dict(arg.test_feeder_args or {}).get("size", 224))
         return (np.zeros((batch, 3 * frames, size, size), np.float32),)
+    if arg.model in FUSION_MODELS:
+        fa = dict(arg.test_feeder_args or {})
+        skel = (batch, ma.get("in_channels_gcn", 3), time_steps,
+                ma.get("num_point", 20), ma.get("num_person", 1))
+        size = int(fa.get("image_size", fa.get("size", 224)))
+        rgb = (batch, ma.get("in_channels_rgb", 15), size, size)
+        return (np.zeros(skel, np.float32), np.zeros(rgb, np.float32))
     raise SystemExit(
         f"export_serving: no example-input rule for model {arg.model!r} "
-        f"(supported: {SKELETON_MODELS + RGB_MODELS})")
+        f"(supported: {SKELETON_MODELS + RGB_MODELS + FUSION_MODELS})")
 
 
 def main(argv=None):
@@ -93,7 +102,7 @@ def main(argv=None):
 
     arg = load_config(rest, parser=base_parser(add_help=False))
     model_args = dict(arg.model_args or {})
-    if ns.poly_batch and arg.model in SKELETON_MODELS:
+    if ns.poly_batch and arg.model in SKELETON_MODELS + FUSION_MODELS:
         # Pallas grids are sized from concrete shapes; a symbolic batch
         # dimension cannot pick kernel blocks. Poly-batch artifacts route
         # the aggregation through the XLA lowering (shape-polymorphic by
