@@ -38,3 +38,23 @@ def test_export_serving_roundtrip_poly_batch(tmp_path, capsys):
     logits = np.asarray(reloaded.call(jnp.zeros((3, 3, 16, 20, 1), jnp.float32)))
     assert logits.shape == (3, 10)
     assert np.all(np.isfinite(logits))
+
+
+def test_export_serving_data_parallel_mesh(tmp_path, capsys):
+    """dp-sharded artifact on the suite's 8-device CPU mesh: batch-sharded
+    inputs via shard_map (per-shard static shapes keep the Pallas kernels
+    viable on TPU), artifact records nr_devices=8, roundtrip exact."""
+    from tools.export_serving import main as export_main
+
+    out = os.path.join(str(tmp_path), "ctrgcn_dp8.stablehlo")
+    export_main([
+        "--out", out, "--batch", "16", "--time", "16", "--data_parallel", "8",
+        "-c", "configs/nucla/smoke.yaml",
+        "--model_args", "base_channel=8",
+    ])
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["nr_devices"] == 8
+    assert rec["output_shape"] == [16, 10]
+    assert rec["roundtrip_max_abs_err"] <= 2e-5

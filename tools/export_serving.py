@@ -18,6 +18,11 @@ Features:
     (the default) embed the production Pallas kernels.
   * --platforms cpu,tpu produces one multi-platform artifact (e.g. CPU
     canary + TPU fleet from the same file).
+  * --data_parallel N exports a dp-sharded artifact for an N-chip mesh:
+    inputs batch-sharded on the 'data' axis via shard_map, so the
+    per-shard shapes are static and the production Pallas kernels run
+    unchanged on each chip's slice. The artifact records the shardings
+    and device count (jax.export nr_devices).
   * --weights loads an orbax checkpoint dir (the trainer's own format,
     best/epochN) before export; omitted = freshly-initialized params
     (pipeline validation).
@@ -95,12 +100,27 @@ def main(argv=None):
                     help="export the folded-affine inference engine "
                          "(CTRGCN only; measured 1.14x at NTU V=25) "
                          "instead of the flax eval forward")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="export a dp-sharded artifact for an N-chip mesh "
+                         "(inputs batch-sharded on the 'data' axis; the "
+                         "artifact records the shardings and device count). "
+                         "Requires N visible devices at export AND serve "
+                         "time; validate on the 8-device CPU mesh via "
+                         "JAX_PLATFORMS=cpu XLA_FLAGS="
+                         "--xla_force_host_platform_device_count=8")
     ns, rest = ap.parse_known_args(argv)
     if ns.fast_eval and ns.poly_batch:
         raise SystemExit("--fast_eval artifacts embed static-shape Pallas "
                          "kernels; use a fixed batch (drop --poly_batch)")
 
     import jax
+
+    # the axon sitecustomize overrides jax_platforms at import time in every
+    # interpreter; when the caller asked for the CPU mesh, force it back so
+    # the virtual devices actually appear (same as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     from jax import export as jexport
 
@@ -153,14 +173,45 @@ def main(argv=None):
     platforms = (tuple(p.strip() for p in ns.platforms.split(","))
                  if ns.platforms else None)
 
+    put = jnp.asarray
+    if ns.data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from tamgcn_tpu.parallel.graph_parallel import shard_map
+        from tamgcn_tpu.parallel.mesh import make_mesh
+
+        if ns.poly_batch:
+            raise SystemExit("--data_parallel fixes the per-chip batch at "
+                             "export; drop --poly_batch")
+        if batch % ns.data_parallel:
+            raise SystemExit(f"batch {batch} must divide "
+                             f"data_parallel={ns.data_parallel}")
+        mesh = make_mesh(ns.data_parallel, 1)
+        in_sh = NamedSharding(mesh, PartitionSpec("data"))
+        # shard_map (not bare GSPMD jit): the Pallas aggregation custom
+        # call has no GSPMD partitioning rule, but inside shard_map the
+        # traced shapes are PER-SHARD, so the production kernels run
+        # unchanged on each chip's batch slice — dp serving keeps the
+        # full single-chip kernel speed (eval is batch-elementwise;
+        # params are closure constants, replicated).
+        spec_in = (PartitionSpec("data"),) * len(xs)
+        jitted = jax.jit(shard_map(
+            serve_fn, mesh=mesh, in_specs=spec_in,
+            out_specs=PartitionSpec("data"), check_rep=False))
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), in_sh)
+    else:
+        jitted = jax.jit(serve_fn)
+
     if ns.poly_batch:
         b = jexport.symbolic_shape("b")[0]
         spec = tuple(
             jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype) for x in xs)
     else:
-        spec = tuple(jnp.asarray(x) for x in xs)
+        spec = tuple(put(x) for x in xs)
 
-    exported = jexport.export(jax.jit(serve_fn), platforms=platforms)(*spec)
+    exported = jexport.export(jitted, platforms=platforms)(*spec)
     data = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(ns.out)), exist_ok=True)
     with open(ns.out, "wb") as f:
@@ -170,7 +221,7 @@ def main(argv=None):
     # model's logits (and, under --poly_batch, that a second batch size runs)
     with open(ns.out, "rb") as f:
         reloaded = jexport.deserialize(f.read())
-    got = np.asarray(reloaded.call(*(jnp.asarray(x) for x in xs)))
+    got = np.asarray(reloaded.call(*(put(x) for x in xs)))
     want = np.asarray(serve_fn(*(jnp.asarray(x) for x in xs)))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
     poly_ok = None
@@ -187,6 +238,7 @@ def main(argv=None):
         "poly_batch": bool(ns.poly_batch),
         "input_shapes": [list(np.asarray(x).shape) for x in xs],
         "output_shape": list(got.shape),
+        "nr_devices": exported.nr_devices,
         "roundtrip_max_abs_err": float(np.max(np.abs(got - want))),
     }))
 
