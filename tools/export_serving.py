@@ -222,7 +222,11 @@ def main(argv=None):
     with open(ns.out, "rb") as f:
         reloaded = jexport.deserialize(f.read())
     got = np.asarray(reloaded.call(*(put(x) for x in xs)))
-    want = np.asarray(serve_fn(*(jnp.asarray(x) for x in xs)))
+    # compare against the jitted function the artifact serializes (the
+    # eager, op-by-op apply is NOT the reference: on TPU its f32 matmul
+    # accumulation order differs from the fused whole-graph executable,
+    # which with trained-magnitude weights exceeds any tight tolerance)
+    want = np.asarray(jitted(*(put(x) for x in xs)))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
     poly_ok = None
     if ns.poly_batch:
